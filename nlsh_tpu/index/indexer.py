@@ -1,0 +1,111 @@
+"""High-level Indexer: hash a corpus, build the bucket table, answer queries.
+
+TPU-native counterpart of the reference ``Indexer``
+(``nlsh/indexer.py:27-96``).  Building hashes the whole corpus under
+jit (the reference batches 4096 rows at a time on the host,
+``indexer.py:40-54``) and the per-query Python loop becomes the batched
+pipeline in :mod:`nlsh_tpu.index.query`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nlsh_tpu.index.bucket_table import build_bucket_table
+from nlsh_tpu.index.query import default_query_chunk, query_bucket_table
+
+Array = jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("hashing", "chunk"))
+def hash_corpus(hashing, params, corpus: Array, chunk: int = 65536) -> Array:
+    """Hard-hash every corpus row to its bucket id, streaming in chunks
+    so activation memory stays bounded for multi-million-row corpora."""
+    n, d = corpus.shape
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    corpus_p = jnp.pad(corpus, ((0, pad), (0, 0)))
+    codes = jax.lax.map(
+        lambda c: hashing.hash_hard(params, c),
+        corpus_p.reshape(n_chunks, chunk, d),
+    )
+    return codes.reshape(-1)[:n]
+
+
+class Indexer:
+    """Build-once, query-many inverted-list index.
+
+    Args:
+      hashing: a hashing model (:mod:`nlsh_tpu.models.hashings`).
+      params: its parameter pytree.
+      corpus: ``(n, d)`` float32 candidate vectors (stays in HBM).
+      metric: rerank metric in the original space (the dataset metric,
+        reference ``data.distance`` passed at ``trainers/base.py:82-86``).
+      probe_budget: max rows gathered per probed bucket; ``None`` uses
+        the table's max occupancy (exact reference semantics).
+    """
+
+    def __init__(
+        self,
+        hashing,
+        params,
+        corpus: Array,
+        metric: str = "cosine",
+        probe_budget: int | None = None,
+    ):
+        self.hashing = hashing
+        self.params = params
+        self.corpus = corpus
+        self.metric = metric
+        codes = hash_corpus(hashing, params, corpus)
+        self.table = build_bucket_table(codes, hashing.n_buckets)
+        if probe_budget is None:
+            probe_budget = int(self.table.max_count())
+        self.probe_budget = max(int(probe_budget), 1)
+
+    # -- observability (reference trainers/base.py:87-90) ------------------
+    def n_buckets_used(self) -> int:
+        return int(self.table.n_nonempty())
+
+    def occupancy_std(self) -> float:
+        return float(self.table.occupancy_std())
+
+    def query(
+        self,
+        queries: Array,
+        k: int = 10,
+        hash_times: int = 10,
+        key: Array | None = None,
+        query_chunk: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Multi-probe query (reference ``Indexer.query``,
+        ``indexer.py:56-96``; defaults k=10, hash_times=10 match).
+
+        Returns ``(topk_ids (nq, k), n_candidates (nq,))`` as numpy.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        probe_ids, probe_valid = self.hashing.hash(
+            self.params, queries, n_probes=hash_times, key=key
+        )
+        if query_chunk is None:
+            query_chunk = default_query_chunk(
+                hash_times, self.probe_budget, queries.shape[1]
+            )
+        topk_ids, n_cand = query_bucket_table(
+            self.table,
+            self.corpus,
+            queries,
+            probe_ids,
+            probe_valid,
+            k=k,
+            probe_budget=self.probe_budget,
+            metric=self.metric,
+            query_chunk=query_chunk,
+        )
+        return np.asarray(topk_ids), np.asarray(n_cand)

@@ -1,0 +1,168 @@
+"""Learned hash functions (hashing heads).
+
+TPU-native re-design of the reference ``nlsh/hashings.py``.  A hashing
+combines an encoder trunk with an output layer producing a probability
+code; ``predict`` is the differentiable forward used by losses and
+``hash`` is the discrete bucket assignment used by the index:
+
+* hard hash:      per-bit threshold ``prob > 0.5``
+  (reference ``hashings.py:72``)
+* multi-probe:    the hard code plus ``n - 1`` Bernoulli samples
+  (reference ``hashings.py:74-81``), here drawn with ``jax.random``
+  inside jit instead of ``torch.distributions`` + Cython host packing.
+
+Bucket ids come back as a fixed-width ``(n, n_probes)`` int32 array
+plus a dedupe mask (:func:`nlsh_tpu.ops.packing.hash_codes`) — the
+static-shape equivalent of the reference's ``List[Set[int]]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from nlsh_tpu.models.encoders import _linear_apply, _linear_init
+from nlsh_tpu.ops import packing
+
+Array = jnp.ndarray
+Params = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class MultivariateBernoulli:
+    """Per-bit Bernoulli hashing (reference ``MultivariateBernoulli``,
+    ``hashings.py:11-92``): encoder -> Linear -> sigmoid gives per-bit
+    probabilities; ``tanh_output`` uses tanh rescaled to [0, 1] for
+    hashing (reference ``hashings.py:23-26,68-69``).
+    """
+
+    encoder: Any
+    hash_size: int
+    code_distance: Any = None  # carried for trainer convenience, as in the reference
+    tanh_output: bool = False
+
+    @property
+    def n_buckets(self) -> int:
+        return 2 ** self.hash_size
+
+    @property
+    def output_dim(self) -> int:
+        return self.hash_size
+
+    def init(self, key) -> Params:
+        ek, ok = jax.random.split(key)
+        return {
+            "encoder": self.encoder.init(ek),
+            "out": _linear_init(ok, self.encoder.output_dim, self.hash_size, True),
+        }
+
+    def predict(self, params: Params, x: Array) -> Array:
+        """Differentiable code: sigmoid probs, or raw tanh when
+        ``tanh_output`` (losses see tanh codes; reference
+        ``hashings.py:21-27``)."""
+        z = _linear_apply(params["out"], self.encoder.apply(params["encoder"], x))
+        return jnp.tanh(z) if self.tanh_output else jax.nn.sigmoid(z)
+
+    def probs(self, params: Params, x: Array) -> Array:
+        """Bernoulli probabilities in [0, 1] (tanh rescaled as in
+        reference ``hashings.py:68-69``)."""
+        p = self.predict(params, x)
+        return p / 2.0 + 0.5 if self.tanh_output else p
+
+    def hash(
+        self, params: Params, x: Array, n_probes: int = 1, key: Array | None = None
+    ) -> tuple[Array, Array]:
+        """Bucket ids for ``x``: ``(ids, valid)`` of shape ``(n, n_probes)``.
+
+        Probe 0 is the deterministic hard code; probes 1..n-1 are
+        Bernoulli samples (reference ``hashings.py:66-85``); ids are
+        sorted per row with duplicates masked out of ``valid``.
+        """
+        p = self.probs(params, x)
+        hard = (p > 0.5).astype(jnp.int32)[:, None, :]  # (n, 1, bits)
+        if n_probes == 1:
+            codes = hard
+        elif n_probes > 1:
+            if key is None:
+                raise ValueError("multi-probe hashing needs a PRNG `key`")
+            sampled = jax.random.bernoulli(
+                key, p[:, None, :], (x.shape[0], n_probes - 1, self.hash_size)
+            ).astype(jnp.int32)
+            codes = jnp.concatenate([hard, sampled], axis=1)
+        else:
+            raise ValueError(f"`n_probes` should be a positive integer, got {n_probes}")
+        return packing.hash_codes(codes)
+
+    def hash_hard(self, params: Params, x: Array) -> Array:
+        """Deterministic single bucket id per row: ``(n,)`` int32."""
+        p = self.probs(params, x)
+        return packing.pack_bits((p > 0.5).astype(jnp.int32))
+
+
+@dataclasses.dataclass(frozen=True)
+class Categorical:
+    """Softmax-over-buckets hashing (reference ``Categorical``,
+    ``hashings.py:95-139``; disabled in the reference CLI,
+    ``main.py:89``, but fully supported here).
+
+    ``hash_size`` is the number of buckets directly.  Multi-probe is
+    the natural extension of the reference's argmax: probe the top
+    ``n_probes`` most probable buckets.
+    """
+
+    encoder: Any
+    hash_size: int
+    code_distance: Any = None
+
+    @property
+    def n_buckets(self) -> int:
+        return self.hash_size
+
+    @property
+    def output_dim(self) -> int:
+        return self.hash_size
+
+    def init(self, key) -> Params:
+        ek, ok = jax.random.split(key)
+        return {
+            "encoder": self.encoder.init(ek),
+            "out": _linear_init(ok, self.encoder.output_dim, self.hash_size, True),
+        }
+
+    def predict(self, params: Params, x: Array) -> Array:
+        z = _linear_apply(params["out"], self.encoder.apply(params["encoder"], x))
+        return jax.nn.softmax(z, axis=-1)
+
+    probs = predict
+
+    def hash(
+        self, params: Params, x: Array, n_probes: int = 1, key: Array | None = None
+    ) -> tuple[Array, Array]:
+        p = self.predict(params, x)
+        _, ids = jax.lax.top_k(p, n_probes)  # (n, n_probes)
+        ids = jnp.sort(ids.astype(jnp.int32), axis=-1)
+        valid = jnp.ones_like(ids, dtype=bool)
+        return ids, valid
+
+    def hash_hard(self, params: Params, x: Array) -> Array:
+        return jnp.argmax(self.predict(params, x), axis=-1).astype(jnp.int32)
+
+
+def get_hashing(
+    hashing_type: str,
+    encoder: Any,
+    hash_size: int,
+    code_distance: Any = None,
+):
+    """Factory keyed by the reference CLI's --hashing_type
+    (``main.py:77-127``)."""
+    if hashing_type == "MultivariateBernoulli":
+        return MultivariateBernoulli(encoder, hash_size, code_distance)
+    if hashing_type == "MultivariateBernoulliTanh":
+        return MultivariateBernoulli(encoder, hash_size, code_distance, tanh_output=True)
+    if hashing_type == "Categorical":
+        return Categorical(encoder, hash_size, code_distance)
+    raise ValueError(f"{hashing_type!r} is not a valid hashing type")

@@ -1,0 +1,290 @@
+"""Distances in *code / probability* space, used by the training losses.
+
+TPU-native re-build of the reference ``nlsh/learning/distances.py``.
+Each distance family exposes three shapes, mirroring the reference
+``_Distance`` ABC (``distances.py:13-43``):
+
+* ``rowwise(p, q)``:      ``(n, k) x (n, k)     -> (n,)``
+* ``pairwise(p, q)``:     ``(n, k) x (m, k)     -> (n, m)``
+* ``row_pairwise(p, q)``: ``(n, m, k) x (n, p, k) -> (n, m, p)``
+
+All functions are pure jnp and jit/vmap/grad-safe.  Pairwise forms are
+written as single contractions (einsum / matmul) so XLA maps them onto
+the MXU instead of materialising broadcast intermediates where it can.
+
+Behavioural-parity notes (kept deliberately, documented so they are not
+"fixed" by accident — losses were tuned against these semantics):
+
+* Bernoulli KL ``rowwise`` takes the **mean** over bits
+  (``distances.py:76-85``) while ``pairwise``/``row_pairwise`` take the
+  **sum** (``distances.py:88-124``) — the reference is internally
+  inconsistent by a factor of ``k`` and we preserve each form.
+* ``MVBernoulliL2.rowwise`` is the true L2 norm while ``.pairwise``
+  returns **squared** distances (``distances.py:245-276``); preserved.
+* The reference ``hellinger_categorical`` has a typo
+  (``F.pariwise_distance``, ``distances.py:73``) making it dead code;
+  here it is implemented correctly.
+* The reference ``MVBernoulliTanhCosine.row_pairwise`` normalises along
+  the wrong axis (``distances.py:300-312``); here the k-axis is used.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+_DEFAULT_EPS = 1e-16
+_Q_FLOOR = 1e-20  # the reference's hardcoded denominator guard
+
+
+# ---------------------------------------------------------------------------
+# Functional forms (reference distances.py:46-131)
+# ---------------------------------------------------------------------------
+
+def jsd_categorical(p: Array, q: Array) -> Array:
+    """Jensen-Shannon divergence between rows of categorical distributions.
+
+    ``(n, k) x (n, k) -> (n,)``.  Matches ``JSD_categorical``
+    (``distances.py:46-61``) including the 0*log(0) = 0 convention of
+    ``torch.distributions.kl_divergence``.
+    """
+    m = (p + q) / 2.0
+
+    def _kl(a: Array, b: Array) -> Array:
+        ratio = jnp.log(a) - jnp.log(b)
+        return jnp.sum(jnp.where(a > 0, a * ratio, 0.0), axis=-1)
+
+    return (_kl(p, m) + _kl(q, m)) / 2.0
+
+
+def hellinger_categorical(p: Array, q: Array) -> Array:
+    """Hellinger distance between rows of categoricals: ``(n, k)^2 -> (n,)``.
+
+    Correct implementation of the intent of ``distances.py:64-73``
+    (whose ``F.pariwise_distance`` typo makes it unusable upstream).
+    """
+    diff = jnp.sqrt(p) - jnp.sqrt(q)
+    return jnp.linalg.norm(diff, axis=-1) / jnp.sqrt(2.0)
+
+
+def kl_multivariate_bernoulli(p: Array, q: Array, epsilon: float = _DEFAULT_EPS) -> Array:
+    """Mean-over-bits KL between multivariate Bernoullis: ``(..., k) -> (...)``.
+
+    Bit-exact port of the reference formula (``distances.py:76-85``),
+    including the asymmetric epsilon placement.
+    """
+    positive = p * jnp.log(epsilon + p / (q + _Q_FLOOR))
+    negative = (1.0 - p) * jnp.log(epsilon + (1.0 - p) / (1.0 - q + _Q_FLOOR))
+    return jnp.mean(positive + negative, axis=-1)
+
+
+def _pairwise_kl_mvb(p: Array, q: Array, epsilon: float) -> Array:
+    """Sum-over-bits pairwise Bernoulli KL: ``(n, k) x (m, k) -> (n, m)``.
+
+    Reference ``distances.py:88-106`` (einsum + broadcast).
+    """
+    log_p_q = jnp.log(epsilon + jnp.einsum("nk,mk->nmk", p, 1.0 / (q + _Q_FLOOR)))
+    positive = jnp.sum(p[:, None, :] * log_p_q, axis=-1)
+    log_np_nq = jnp.log(
+        epsilon + jnp.einsum("nk,mk->nmk", 1.0 - p, 1.0 / (1.0 - q + _Q_FLOOR))
+    )
+    negative = jnp.sum((1.0 - p[:, None, :]) * log_np_nq, axis=-1)
+    return positive + negative
+
+
+def _row_pairwise_kl_mvb(p: Array, q: Array, epsilon: float) -> Array:
+    """``(n, m, k) x (n, p, k) -> (n, m, p)`` (reference distances.py:109-124)."""
+    log_p_q = jnp.log(
+        epsilon + jnp.einsum("nmk,npk->nmpk", p, 1.0 / (q + _Q_FLOOR))
+    )
+    positive = jnp.sum(p[:, :, None, :] * log_p_q, axis=-1)
+    log_np_nq = jnp.log(
+        epsilon + jnp.einsum("nmk,npk->nmpk", 1.0 - p, 1.0 / (1.0 - q + _Q_FLOOR))
+    )
+    negative = jnp.sum((1.0 - p[:, :, None, :]) * log_np_nq, axis=-1)
+    return positive + negative
+
+
+def entropy_multivariate_bernoulli(p: Array, epsilon: float = _DEFAULT_EPS) -> Array:
+    """Mean-over-bits entropy (reference distances.py:127-130)."""
+    positive = -p * jnp.log(p + epsilon)
+    negative = -(1.0 - p) * jnp.log(1.0 - p + epsilon)
+    return jnp.mean(positive + negative, axis=-1)
+
+
+def cross_entropy_multivariate_bernoulli(
+    p: Array, q: Array, epsilon: float = _Q_FLOOR
+) -> Array:
+    """KL + entropy (reference distances.py:128-131)."""
+    return kl_multivariate_bernoulli(p, q, epsilon) + entropy_multivariate_bernoulli(
+        p, epsilon
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distance families (reference distances.py:134-312)
+# ---------------------------------------------------------------------------
+
+class MVBernoulliKLDivergence:
+    """Reference ``MVBernoulliKLDivergence`` (distances.py:134-164)."""
+
+    def __init__(self, epsilon: float = _Q_FLOOR):
+        self.epsilon = epsilon
+
+    def rowwise(self, p: Array, q: Array) -> Array:
+        return kl_multivariate_bernoulli(p, q, self.epsilon)
+
+    def pairwise(self, p: Array, q: Array) -> Array:
+        return _pairwise_kl_mvb(p, q, self.epsilon)
+
+    def row_pairwise(self, p: Array, q: Array) -> Array:
+        return _row_pairwise_kl_mvb(p, q, self.epsilon)
+
+
+class MVBernoulliMeanKLDivergence:
+    """Symmetrised KL (reference distances.py:167-203)."""
+
+    def __init__(self, epsilon: float = _Q_FLOOR):
+        self.epsilon = epsilon
+
+    def rowwise(self, p: Array, q: Array) -> Array:
+        return (
+            kl_multivariate_bernoulli(p, q, self.epsilon)
+            + kl_multivariate_bernoulli(q, p, self.epsilon)
+        ) / 2.0
+
+    def pairwise(self, p: Array, q: Array) -> Array:
+        return (
+            _pairwise_kl_mvb(p, q, self.epsilon)
+            + _pairwise_kl_mvb(q, p, self.epsilon).T
+        ) / 2.0
+
+    def row_pairwise(self, p: Array, q: Array) -> Array:
+        kl_pq = _row_pairwise_kl_mvb(p, q, self.epsilon)
+        kl_qp = _row_pairwise_kl_mvb(q, p, self.epsilon)
+        return (kl_pq + jnp.swapaxes(kl_qp, -1, -2)) / 2.0
+
+
+class MVBernoulliCrossEntropy:
+    """KL + entropy-of-p (reference distances.py:206-242)."""
+
+    def __init__(self, epsilon: float = _Q_FLOOR):
+        self.epsilon = epsilon
+
+    def rowwise(self, p: Array, q: Array) -> Array:
+        return kl_multivariate_bernoulli(
+            p, q, self.epsilon
+        ) + entropy_multivariate_bernoulli(p, self.epsilon)
+
+    def pairwise(self, p: Array, q: Array) -> Array:
+        kl = _pairwise_kl_mvb(p, q, self.epsilon)
+        ent = entropy_multivariate_bernoulli(p, self.epsilon)
+        return kl + ent[:, None]
+
+    def row_pairwise(self, p: Array, q: Array) -> Array:
+        kl = _row_pairwise_kl_mvb(p, q, self.epsilon)
+        ent = entropy_multivariate_bernoulli(p, self.epsilon)
+        return kl + ent[:, :, None]
+
+
+class MVBernoulliL2:
+    """L2 in probability space (reference distances.py:245-276).
+
+    Parity wart preserved: ``pairwise`` returns *squared* distances
+    while ``rowwise``/``row_pairwise`` return true L2.
+    """
+
+    def rowwise(self, p: Array, q: Array) -> Array:
+        d = p - q
+        return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
+    def pairwise(self, p: Array, q: Array) -> Array:
+        p_sq = jnp.sum(p * p, axis=-1, keepdims=True)
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True).T
+        cross = jnp.dot(p, q.T, preferred_element_type=jnp.float32)
+        return p_sq + q_sq - 2.0 * cross
+
+    def row_pairwise(self, p: Array, q: Array) -> Array:
+        p_sq = jnp.sum(p * p, axis=-1)[:, :, None]
+        q_sq = jnp.sum(q * q, axis=-1)[:, None, :]
+        cross = jnp.einsum("nmk,npk->nmp", p, q)
+        return jnp.sqrt(jnp.maximum(p_sq + q_sq - 2.0 * cross, 0.0) + 1e-12)
+
+
+class MVBernoulliTanhCosine:
+    """Cosine distance on tanh codes (reference distances.py:279-312,
+    with the row_pairwise normalisation-axis bug fixed)."""
+
+    @staticmethod
+    def _normalize(x: Array) -> Array:
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    def rowwise(self, p: Array, q: Array) -> Array:
+        pn, qn = self._normalize(p), self._normalize(q)
+        return 1.0 - jnp.sum(pn * qn, axis=-1)
+
+    def pairwise(self, p: Array, q: Array) -> Array:
+        pn, qn = self._normalize(p), self._normalize(q)
+        return 1.0 - jnp.dot(pn, qn.T, preferred_element_type=jnp.float32)
+
+    def row_pairwise(self, p: Array, q: Array) -> Array:
+        pn, qn = self._normalize(p), self._normalize(q)
+        return 1.0 - jnp.einsum("nmk,npk->nmp", pn, qn)
+
+
+class CategoricalL2:
+    """L2 between categorical probability rows (reference ``L2_categorical``,
+    distances.py:9-10), for the Categorical hashing head."""
+
+    def rowwise(self, p: Array, q: Array) -> Array:
+        d = p - q
+        return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
+    def pairwise(self, p: Array, q: Array) -> Array:
+        p_sq = jnp.sum(p * p, axis=-1, keepdims=True)
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True).T
+        cross = jnp.dot(p, q.T, preferred_element_type=jnp.float32)
+        return jnp.sqrt(jnp.maximum(p_sq + q_sq - 2.0 * cross, 0.0) + 1e-12)
+
+    def row_pairwise(self, p: Array, q: Array) -> Array:
+        p_sq = jnp.sum(p * p, axis=-1)[:, :, None]
+        q_sq = jnp.sum(q * q, axis=-1)[:, None, :]
+        cross = jnp.einsum("nmk,npk->nmp", p, q)
+        return jnp.sqrt(jnp.maximum(p_sq + q_sq - 2.0 * cross, 0.0) + 1e-12)
+
+
+class CategoricalJSD:
+    """JSD between categorical rows, for the Categorical head
+    (reference wires ``JSD_categorical`` in main.py:84-88)."""
+
+    def rowwise(self, p: Array, q: Array) -> Array:
+        return jsd_categorical(p, q)
+
+    def pairwise(self, p: Array, q: Array) -> Array:
+        return jsd_categorical(p[:, None, :], q[None, :, :])
+
+    def row_pairwise(self, p: Array, q: Array) -> Array:
+        return jsd_categorical(p[:, :, None, :], q[:, None, :, :])
+
+
+# Registry keyed by the CLI's --distance_type values (reference
+# main.py:77-127).
+CODE_DISTANCES = {
+    "L2": MVBernoulliL2,
+    "KL": MVBernoulliKLDivergence,
+    "MeanKL": MVBernoulliMeanKLDivergence,
+    "CrossEntropy": MVBernoulliCrossEntropy,
+    "Cosine": MVBernoulliTanhCosine,
+    "JS": CategoricalJSD,
+    "CategoricalL2": CategoricalL2,
+}
+
+
+def get_code_distance(name: str):
+    try:
+        return CODE_DISTANCES[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown code distance {name!r}; one of {sorted(CODE_DISTANCES)}"
+        )

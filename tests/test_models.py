@@ -1,0 +1,118 @@
+"""Tests for encoders and hashing heads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlsh_tpu.models.encoders import MLPEncoder, SirenEncoder, TwoLayer256Relu, get_encoder
+from nlsh_tpu.models.hashings import Categorical, MultivariateBernoulli, get_hashing
+from nlsh_tpu.ops.packing import pack_bits
+
+
+@pytest.fixture
+def x():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(32, 10)).astype(np.float32))
+
+
+def test_mlp_encoder_shapes(x):
+    enc = MLPEncoder(input_dim=10, hidden_dims=(64, 32))
+    params = enc.init(jax.random.PRNGKey(0))
+    out = enc.apply(params, x)
+    assert out.shape == (32, 32)
+    assert (np.asarray(out) >= 0).all()  # relu output
+
+
+def test_two_layer_256(x):
+    enc = TwoLayer256Relu(input_dim=10)
+    assert enc.output_dim == 256
+    out = enc.apply(enc.init(jax.random.PRNGKey(0)), x)
+    assert out.shape == (32, 256)
+
+
+def test_siren_encoder(x):
+    enc = SirenEncoder(input_dim=10, hidden_dims=(64, 64, 16))
+    out = enc.apply(enc.init(jax.random.PRNGKey(0)), x)
+    assert out.shape == (32, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_encoder_factory():
+    e = get_encoder("siren", 10, [32, 32])
+    assert isinstance(e, SirenEncoder)
+    with pytest.raises(ValueError):
+        get_encoder("transformer", 10, [32])
+
+
+def test_mvb_predict_range_and_hard_hash(x):
+    h = MultivariateBernoulli(MLPEncoder(10, (32,)), hash_size=6)
+    params = h.init(jax.random.PRNGKey(1))
+    p = np.asarray(h.predict(params, x))
+    assert ((p > 0) & (p < 1)).all()
+    hard = h.hash_hard(params, x)
+    assert hard.shape == (32,)
+    assert ((np.asarray(hard) >= 0) & (np.asarray(hard) < 64)).all()
+    # hard hash must equal packing of thresholded probs
+    np.testing.assert_array_equal(
+        np.asarray(hard), np.asarray(pack_bits((h.probs(params, x) > 0.5).astype(jnp.int32)))
+    )
+
+
+def test_mvb_tanh_probs_rescaled(x):
+    h = MultivariateBernoulli(MLPEncoder(10, (32,)), hash_size=6, tanh_output=True)
+    params = h.init(jax.random.PRNGKey(1))
+    raw = np.asarray(h.predict(params, x))
+    assert ((raw > -1) & (raw < 1)).all()
+    p = np.asarray(h.probs(params, x))
+    assert ((p > 0) & (p < 1)).all()
+    np.testing.assert_allclose(p, raw / 2 + 0.5, rtol=1e-6)
+
+
+def test_mvb_multiprobe_includes_hard_code(x):
+    h = MultivariateBernoulli(MLPEncoder(10, (32,)), hash_size=5)
+    params = h.init(jax.random.PRNGKey(2))
+    hard = np.asarray(h.hash_hard(params, x))
+    ids, valid = h.hash(params, x, n_probes=8, key=jax.random.PRNGKey(3))
+    ids, valid = np.asarray(ids), np.asarray(valid)
+    assert ids.shape == (32, 8)
+    for i in range(32):
+        assert hard[i] in set(ids[i][valid[i]].tolist())
+
+
+def test_mvb_single_probe_deterministic(x):
+    h = MultivariateBernoulli(MLPEncoder(10, (32,)), hash_size=5)
+    params = h.init(jax.random.PRNGKey(2))
+    ids, valid = h.hash(params, x, n_probes=1)
+    assert np.asarray(valid).all()
+    np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.asarray(h.hash_hard(params, x)))
+
+
+def test_mvb_requires_key_for_multiprobe(x):
+    h = MultivariateBernoulli(MLPEncoder(10, (32,)), hash_size=5)
+    params = h.init(jax.random.PRNGKey(2))
+    with pytest.raises(ValueError):
+        h.hash(params, x, n_probes=3)
+
+
+def test_categorical_hash(x):
+    h = Categorical(MLPEncoder(10, (32,)), hash_size=7)
+    assert h.n_buckets == 7
+    params = h.init(jax.random.PRNGKey(4))
+    p = np.asarray(h.predict(params, x))
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-5)
+    hard = np.asarray(h.hash_hard(params, x))
+    np.testing.assert_array_equal(hard, p.argmax(-1))
+    ids, valid = h.hash(params, x, n_probes=3)
+    assert np.asarray(valid).all()
+    for i in range(32):
+        assert hard[i] in np.asarray(ids)[i].tolist()
+
+
+def test_hashing_factory():
+    enc = MLPEncoder(10, (16,))
+    assert isinstance(get_hashing("MultivariateBernoulli", enc, 4), MultivariateBernoulli)
+    assert get_hashing("MultivariateBernoulliTanh", enc, 4).tanh_output
+    assert isinstance(get_hashing("Categorical", enc, 4), Categorical)
+    with pytest.raises(ValueError):
+        get_hashing("ProductQuantization", enc, 4)
