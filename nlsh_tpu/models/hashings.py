@@ -158,11 +158,23 @@ def get_hashing(
     code_distance: Any = None,
 ):
     """Factory keyed by the reference CLI's --hashing_type
-    (``main.py:77-127``)."""
+    (``main.py:77-127``).  ``code_distance`` defaults per head the way
+    the reference CLI defaults ``--distance_type`` to L2."""
+    from nlsh_tpu.ops.code_distances import get_code_distance
+
     if hashing_type == "MultivariateBernoulli":
-        return MultivariateBernoulli(encoder, hash_size, code_distance)
+        return MultivariateBernoulli(
+            encoder, hash_size, code_distance or get_code_distance("L2")
+        )
     if hashing_type == "MultivariateBernoulliTanh":
-        return MultivariateBernoulli(encoder, hash_size, code_distance, tanh_output=True)
+        return MultivariateBernoulli(
+            encoder,
+            hash_size,
+            code_distance or get_code_distance("Cosine"),
+            tanh_output=True,
+        )
     if hashing_type == "Categorical":
-        return Categorical(encoder, hash_size, code_distance)
+        return Categorical(
+            encoder, hash_size, code_distance or get_code_distance("CategoricalL2")
+        )
     raise ValueError(f"{hashing_type!r} is not a valid hashing type")

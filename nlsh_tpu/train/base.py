@@ -1,0 +1,255 @@
+"""Trainer harness — the template-method training loop, jitted.
+
+TPU-native re-design of the reference ``nlsh/trainers/base.py:11-116``.
+The reference drives one optimiser step per Python-loop batch; here the
+inner loop is a ``lax.scan`` over whole *segments* of steps compiled
+once, so the host only intervenes at evaluation boundaries.  Per-epoch
+batch composition (shuffling, positive/negative sampling) is expressed
+as on-device index arrays produced by each concrete trainer's
+:meth:`Trainer.epoch_arrays`; the scanned step slices them and gathers
+vectors from the corpus inside jit.
+
+Template contract (mirrors the reference's abstract surface):
+
+* ``epoch_arrays(key, params)``  — per-epoch index/label arrays, all
+  shaped ``(n, ...)`` and sliced per step (reference ``_get_dataset`` +
+  ``batch_generator``).
+* ``loss_fn(hashing_params, extra_params, corpus, knn, batch, key)`` —
+  pure scalar loss (reference ``_get_loss``).
+* ``init_extra(key)`` — auxiliary model params, e.g. AE decoder /
+  VQ-VAE codebook (reference ``_prepare_extra_models`` +
+  ``_get_extra_models_parameters``); jointly optimised with the
+  hashing, as in the reference (``base.py:58-62``).
+
+Evaluation every ``test_every_updates`` steps rebuilds the index and
+logs the same channels as the reference (``base.py:80-115``):
+``test/n_indexes``, ``test/std_index_rows``, ``test/recall``,
+``test/query_size``, ``test/qps``, plus the 10k-sample train-set
+overfit probe.  Best-model checkpointing fixes the reference's
+never-updated ``best_query_size`` wart (``base.py:100-103``) and adds
+optimizer-state resume, which the reference lacks entirely (§5 of the
+survey).
+"""
+
+from __future__ import annotations
+
+import abc
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nlsh_tpu.index.indexer import Indexer
+from nlsh_tpu.utils import checkpoint as ckpt
+from nlsh_tpu.utils.loggers import NullLogger
+from nlsh_tpu.utils.metrics import calculate_recall
+
+Array = jnp.ndarray
+
+
+class TrainState(NamedTuple):
+    params: Any  # {"hashing": ..., "extra": ...}
+    opt_state: Any
+    step: Array  # scalar int32
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+class Trainer(abc.ABC):
+    """Template-method trainer (reference ``Trainer`` ABC,
+    ``trainers/base.py:11-34``)."""
+
+    def __init__(self, hashing, data, model_save_dir="/tmp", logger=None):
+        self.hashing = hashing
+        self.data = data
+        self.model_save_dir = model_save_dir
+        self.logger = logger or NullLogger()
+
+    # -- template hooks ------------------------------------------------
+    @abc.abstractmethod
+    def epoch_arrays(self, key: Array, params: Any) -> dict[str, Array]:
+        """Per-epoch index/label arrays, each ``(n_train, ...)``."""
+
+    @abc.abstractmethod
+    def loss_fn(
+        self,
+        hashing_params: Any,
+        extra_params: Any,
+        corpus: Array,
+        knn: Array,
+        batch: dict[str, Array],
+        key: Array,
+    ) -> Array:
+        """Pure scalar loss for one batch."""
+
+    def init_extra(self, key: Array) -> Any:
+        return {}
+
+    # -- jitted machinery ----------------------------------------------
+    def _build_segment_runner(self, tx, corpus: Array, knn: Array, batch_size: int):
+        loss_fn = self.loss_fn
+
+        def run_segment(state: TrainState, arrays, seg_start, key, n_steps: int):
+            def body(carry: TrainState, i):
+                step_in_epoch = seg_start + i
+                start = step_in_epoch * batch_size
+                batch = {
+                    name: jax.lax.dynamic_slice_in_dim(arr, start, batch_size)
+                    for name, arr in arrays.items()
+                }
+                step_key = jax.random.fold_in(key, i)
+
+                def scalar_loss(params):
+                    return loss_fn(
+                        params["hashing"], params["extra"], corpus, knn, batch, step_key
+                    )
+
+                loss, grads = jax.value_and_grad(scalar_loss)(carry.params)
+                updates, opt_state = tx.update(grads, carry.opt_state, carry.params)
+                params = optax.apply_updates(carry.params, updates)
+                return TrainState(params, opt_state, carry.step + 1), loss
+
+            return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+        return jax.jit(run_segment, static_argnames=("n_steps",))
+
+    # -- evaluation -----------------------------------------------------
+    def _evaluate(
+        self,
+        params,
+        corpus,
+        val_gpu,
+        ground_truth,
+        probe_train,
+        probe_gt,
+        K,
+        hash_times,
+        step,
+        eval_key,
+    ) -> tuple[float, float]:
+        """Index rebuild + validation/train-probe query + logging
+        (reference ``base.py:80-115``).  Returns (recall, query_size)."""
+        indexer = Indexer(
+            self.hashing, params["hashing"], corpus, metric=self.data.metric
+        )
+        # Round the probe budget up to a power of two so the query kernel
+        # compiles O(log) variants across evals, not one per rebuild.
+        indexer.probe_budget = _next_pow2(indexer.probe_budget)
+        self.logger.log("test/n_indexes", indexer.n_buckets_used(), step)
+        self.logger.log("test/std_index_rows", indexer.occupancy_std(), step)
+
+        t1 = time.perf_counter()
+        topk, n_cand = indexer.query(val_gpu, k=K, hash_times=hash_times, key=eval_key)
+        t2 = time.perf_counter()
+        recall = calculate_recall(ground_truth, topk, np.mean)
+        query_size = float(np.mean(n_cand))
+        self.logger.log("test/recall", recall, step)
+        self.logger.log("test/query_size", query_size, step)
+        self.logger.log("test/qps", val_gpu.shape[0] / (t2 - t1), step)
+
+        # Train-set overfit probe (reference base.py:110-115).
+        topk_t, n_cand_t = indexer.query(
+            probe_train, k=K, hash_times=hash_times, key=eval_key
+        )
+        self.logger.log(
+            "training/recall", calculate_recall(probe_gt, topk_t, np.mean), step
+        )
+        self.logger.log("training/query_size", float(np.mean(n_cand_t)), step)
+        return recall, query_size
+
+    # -- the loop ---------------------------------------------------------
+    def fit(
+        self,
+        K: int = 10,
+        batch_size: int = 1024,
+        learning_rate: float = 3e-4,
+        test_every_updates: int = 1000,
+        epochs: int = 100,
+        hash_times: int = 10,
+        seed: int = 0,
+        n_train_probe: int = 10000,
+        max_steps: int | None = None,
+        resume_from: str | None = None,
+    ):
+        """Train (reference ``fit``, ``base.py:36-115``; defaults match —
+        the reference CLI passes ``test_every_updates=300``,
+        ``main.py:398-403``)."""
+        if not self.data.prepared:
+            self.data.load()
+        key = jax.random.PRNGKey(seed)
+        corpus = jnp.asarray(self.data.training)
+        val_gpu = jnp.asarray(self.data.testing)
+        ground_truth = np.asarray(self.data.ground_truth)[:, :K]
+        knn = jnp.asarray(self.data.training_self_knn, dtype=jnp.int32)
+        n = corpus.shape[0]
+
+        # 10k-sample train-recall probe set (reference base.py:48-50).
+        key, pk = jax.random.split(key)
+        probe_idx = np.asarray(
+            jax.random.randint(pk, (min(n_train_probe, n),), 0, n)
+        )
+        probe_train = corpus[probe_idx]
+        probe_gt = np.asarray(knn)[probe_idx, :K]
+
+        key, ik, ek = jax.random.split(key, 3)
+        params = {
+            "hashing": self.hashing.init(ik),
+            "extra": self.init_extra(ek),
+        }
+        tx = optax.amsgrad(learning_rate)
+        state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+        if resume_from:
+            state = ckpt.load_train_state(resume_from, state)
+
+        run_segment = self._build_segment_runner(tx, corpus, knn, batch_size)
+        n_batches = n // batch_size
+        if n_batches == 0:
+            raise ValueError(f"batch_size {batch_size} exceeds corpus size {n}")
+
+        best_recall, best_query_size = 0.0, float("inf")
+        eval_key = jax.random.PRNGKey(seed + 1)
+        stop = False
+
+        for epoch in range(epochs):
+            key, ak, sk = jax.random.split(key, 3)
+            arrays = self.epoch_arrays(ak, state.params)
+
+            done = 0
+            while done < n_batches and not stop:
+                seg = min(test_every_updates, n_batches - done)
+                if max_steps is not None:
+                    seg = min(seg, max_steps - int(state.step))
+                    if seg <= 0:
+                        stop = True
+                        break
+                state, losses = run_segment(
+                    state, arrays, jnp.asarray(done, jnp.int32), sk, seg
+                )
+                losses = np.asarray(losses)
+                base_step = int(state.step) - seg
+                for i, loss in enumerate(losses):
+                    self.logger.log("training/loss", float(loss), base_step + i + 1)
+                done += seg
+
+                if done % test_every_updates == 0 or done == n_batches:
+                    recall, query_size = self._evaluate(
+                        state.params, corpus, val_gpu, ground_truth,
+                        probe_train, probe_gt, K, hash_times,
+                        int(state.step), eval_key,
+                    )
+                    if recall > best_recall and query_size < best_query_size:
+                        best_recall, best_query_size = recall, query_size
+                        base = (
+                            f"{self.model_save_dir}/{self.logger.run_name}"
+                            f"_{int(state.step)}_{recall:.4f}"
+                        )
+                        ckpt.save_model(base, self.hashing, state.params["hashing"])
+                        ckpt.save_train_state(base + ".state", state)
+            if stop:
+                break
+        return state

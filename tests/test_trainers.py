@@ -1,0 +1,194 @@
+"""Trainer tests: loss golden values, straight-through VJP parity,
+negative mining, and a tiny end-to-end fit per learner."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlsh_tpu.data import SyntheticDataset
+from nlsh_tpu.models.encoders import MLPEncoder
+from nlsh_tpu.models.hashings import MultivariateBernoulli
+from nlsh_tpu.ops.code_distances import MVBernoulliL2
+from nlsh_tpu.train import (
+    AETrainer,
+    ProposedTrainer,
+    SiameseTrainer,
+    TripletTrainer,
+    VQVAETrainer,
+)
+from nlsh_tpu.train.siamese import contrastive_loss
+from nlsh_tpu.train.triplet import nearest_exclude_positive, triplet_loss
+from nlsh_tpu.train.vqvae import st_codebook_lookup
+from nlsh_tpu.utils.loggers import JSONLLogger
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    return SyntheticDataset(
+        n_train=512, n_test=64, dim=8, n_clusters=16, metric="cosine",
+        k_ground_truth=10, seed=0,
+    ).load()
+
+
+def _make_hashing(dim=8, bits=4):
+    return MultivariateBernoulli(
+        MLPEncoder(input_dim=dim, hidden_dims=(16,)), bits, MVBernoulliL2()
+    )
+
+
+def test_triplet_loss_values():
+    dist = MVBernoulliL2()
+    a = jnp.array([[0.0, 0.0]])
+    p = jnp.array([[0.0, 0.0]])  # d_pos = 0
+    n = jnp.array([[3.0, 4.0]])  # d_neg = 5
+    # clamp(0 - 5 + 0.1, min=0) = 0
+    assert float(triplet_loss(a, p, n, dist.rowwise, margin=0.1)) == 0.0
+    # swap: clamp(5 - 0 + 0.1) = 5.1
+    np.testing.assert_allclose(
+        float(triplet_loss(a, n, p, dist.rowwise, margin=0.1)), 5.1, rtol=1e-5
+    )
+
+
+def test_contrastive_loss_values():
+    dist = MVBernoulliL2()
+    a = jnp.array([[0.0, 0.0], [0.0, 0.0]])
+    o = jnp.array([[3.0, 4.0], [3.0, 4.0]])  # d = 5 both rows
+    label = jnp.array([1.0, 0.0])
+    # pos: (5 - 0)^2 = 25 ; neg: clamp(5 - 0.1, max=0)^2 = 0
+    # mean(25, 0)/2 = 6.25
+    got = float(contrastive_loss(a, o, label, dist.rowwise,
+                                 negative_margin=0.1, positive_margin=0.0))
+    np.testing.assert_allclose(got, 6.25, rtol=1e-5)
+    # all-negative with d < margin: clamp(5-10, max=0)^2 = 25
+    got = float(contrastive_loss(a, o, jnp.zeros(2), dist.rowwise,
+                                 negative_margin=10.0))
+    np.testing.assert_allclose(got, 12.5, rtol=1e-5)
+
+
+def test_st_codebook_lookup_forward_and_backward():
+    """Backward must match the reference custom autograd
+    (vqvae.py:53-71): grad-norm scattered into the argmax slot of probs,
+    index_add into the codebook."""
+    probs = jnp.array([[0.1, 0.7, 0.2], [0.6, 0.3, 0.1]])
+    codebook = jnp.array([[1.0, 0.0], [0.0, 2.0], [3.0, 3.0]])
+
+    out = st_codebook_lookup(probs, codebook)
+    np.testing.assert_array_equal(np.asarray(out), [[0.0, 2.0], [1.0, 0.0]])
+
+    g = jnp.array([[3.0, 4.0], [1.0, 0.0]])  # norms: 5, 1
+    _, vjp = jax.vjp(st_codebook_lookup, probs, codebook)
+    gp, gc = vjp(g)
+    np.testing.assert_allclose(
+        np.asarray(gp), [[0.0, 5.0, 0.0], [1.0, 0.0, 0.0]], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gc), [[1.0, 0.0], [3.0, 4.0], [0.0, 0.0]], rtol=1e-6
+    )
+
+
+def test_nearest_exclude_positive():
+    hashing = _make_hashing(dim=4, bits=3)
+    params = hashing.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    corpus = jnp.asarray(rng.normal(size=(40, 4)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(0, 40, (40, 3)).astype(np.int32))
+
+    neg = np.asarray(
+        nearest_exclude_positive(hashing, params, corpus, pos, k=3, chunk=16)
+    )
+    # numpy reference
+    codes = np.asarray(hashing.predict(params, corpus))
+    d = ((codes[:, None, :] - codes[None, :, :]) ** 2).sum(-1)
+    for i in range(40):
+        d[i, i] = np.inf
+        d[i, np.asarray(pos)[i]] = np.inf
+    expected = d.argmin(axis=1)
+    # argmin can flip on float near-ties between the matmul expansion and
+    # the direct computation — compare by achieved distance instead.
+    np.testing.assert_allclose(
+        d[np.arange(40), neg], d[np.arange(40), expected], rtol=1e-4, atol=1e-5
+    )
+    for i in range(40):
+        assert neg[i] != i and neg[i] not in np.asarray(pos)[i]
+
+
+@pytest.mark.parametrize("method", ["random", "nearest", "hard", "semi-hard"])
+def test_triplet_trainer_smoke(tiny_data, method, tmp_path):
+    hashing = _make_hashing()
+    tr = TripletTrainer(
+        hashing, tiny_data, str(tmp_path), negative_sampling_method=method,
+        positive_k=5,
+    )
+    state = tr.fit(K=5, batch_size=64, epochs=1, test_every_updates=4,
+                   max_steps=8, hash_times=3)
+    assert int(state.step) == 8
+    assert np.isfinite(
+        float(jax.tree.reduce(lambda a, b: a + jnp.sum(b), state.params["hashing"], 0.0))
+    )
+
+
+def test_siamese_trainer_smoke(tiny_data, tmp_path):
+    hashing = _make_hashing()
+    tr = SiameseTrainer(hashing, tiny_data, str(tmp_path), positive_rate=0.3)
+    state = tr.fit(K=5, batch_size=64, epochs=1, test_every_updates=4,
+                   max_steps=4, hash_times=3)
+    assert int(state.step) == 4
+
+
+def test_siamese_locally_variant(tiny_data, tmp_path):
+    hashing = _make_hashing()
+    tr = SiameseTrainer(hashing, tiny_data, str(tmp_path), locally=True,
+                        inner_k=3, outer_k=8)
+    state = tr.fit(K=5, batch_size=64, epochs=1, test_every_updates=4,
+                   max_steps=4, hash_times=3)
+    assert int(state.step) == 4
+
+
+def test_proposed_trainer_smoke(tiny_data, tmp_path):
+    hashing = _make_hashing()
+    tr = ProposedTrainer(hashing, tiny_data, str(tmp_path), train_k=5,
+                         lambda1=0.01, n_reg_samples=256)
+    state = tr.fit(K=5, batch_size=64, epochs=1, test_every_updates=4,
+                   max_steps=4, hash_times=3)
+    assert int(state.step) == 4
+
+
+def test_ae_trainer_smoke(tiny_data, tmp_path):
+    hashing = _make_hashing()
+    tr = AETrainer(hashing, tiny_data, str(tmp_path), decoder_hidden=32)
+    state = tr.fit(K=5, batch_size=64, epochs=1, test_every_updates=4,
+                   max_steps=4, hash_times=3)
+    assert "fc1" in state.params["extra"]
+
+
+def test_vqvae_trainer_smoke(tiny_data, tmp_path):
+    hashing = _make_hashing()
+    tr = VQVAETrainer(hashing, tiny_data, str(tmp_path))
+    state = tr.fit(K=5, batch_size=64, epochs=1, test_every_updates=4,
+                   max_steps=4, hash_times=3)
+    assert state.params["extra"]["codebook"].shape == (4, 8)
+
+
+def test_triplet_training_reduces_loss_and_logs(tiny_data, tmp_path):
+    """Loss must fall over a few hundred steps on learnable data, and
+    metrics must be logged through the logger abstraction."""
+    log_path = tmp_path / "run.jsonl"
+    hashing = _make_hashing(dim=8, bits=5)
+    tr = TripletTrainer(
+        hashing, tiny_data, str(tmp_path),
+        logger=JSONLLogger(str(log_path)), positive_k=5, margin=0.5,
+    )
+    tr.fit(K=5, batch_size=64, learning_rate=3e-3, epochs=25,
+           test_every_updates=100, max_steps=200, hash_times=3)
+
+    import json
+    records = [json.loads(l) for l in log_path.read_text().splitlines()]
+    losses = [r["value"] for r in records
+              if r["kind"] == "metric" and r["name"] == "training/loss"]
+    assert len(losses) == 200
+    assert np.mean(losses[:20]) > np.mean(losses[-20:])
+    recalls = [r["value"] for r in records
+               if r["kind"] == "metric" and r["name"] == "test/recall"]
+    assert recalls, "eval must have run"
+    assert all(0.0 <= r <= 1.0 for r in recalls)
