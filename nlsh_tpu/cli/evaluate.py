@@ -1,0 +1,133 @@
+"""Offline evaluation CLI — the multi-probe sweep.
+
+Re-design of reference ``eval.py``: load a saved model artifact, hash
+the corpus, build the index once, then sweep the number of probes
+``n = 1..100`` and report ``(avg_n_candidates, recall)`` per probe
+count (reference ``eval.py:148,196``).
+
+The reference re-samples codes and walks a per-query Python dict loop
+for every sweep value on CPU (``eval.py:156-188``); here one batch of
+100 sampled probe codes is drawn once, and each sweep value ``n``
+masks probes ``>= n`` down to the hard code before the shared jitted
+dedupe + query pipeline — so the whole sweep is 100 calls into a
+single compiled kernel.  (Probe samples are iid Bernoulli draws, so
+prefixes of one sample batch are distributionally identical to the
+reference's fresh draws.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nlsh_tpu.data import get_data_by_id
+from nlsh_tpu.index.bucket_table import build_bucket_table
+from nlsh_tpu.index.indexer import hash_corpus
+from nlsh_tpu.index.query import default_query_chunk, query_bucket_table
+from nlsh_tpu.ops import packing
+from nlsh_tpu.utils.checkpoint import load_model
+from nlsh_tpu.utils.env import get_env
+from nlsh_tpu.utils.metrics import calculate_recall
+
+
+def nlsh_eval_argparse() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--data_id", type=str, required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--max_probes", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json_out", type=str, default=None,
+                   help="also write the sweep as JSON lines")
+    return p
+
+
+def sample_probe_codes(hashing, params, queries, max_probes: int, key):
+    """Draw the full probe-code batch once: ``(nq, max_probes)`` packed
+    int32, probe 0 the deterministic hard code (reference
+    ``sample_and_collect``, eval.py:65-83)."""
+    p = hashing.probs(params, queries)
+    hard = (p > 0.5).astype(jnp.int32)[:, None, :]
+    sampled = jax.random.bernoulli(
+        key, p[:, None, :], (queries.shape[0], max_probes - 1, p.shape[-1])
+    ).astype(jnp.int32)
+    return packing.pack_bits(jnp.concatenate([hard, sampled], axis=1))
+
+
+@partial(jax.jit, static_argnames=("k", "probe_budget", "metric", "query_chunk"))
+def _sweep_step(table, corpus, queries, raw_codes, n, k, probe_budget, metric,
+                query_chunk):
+    """One sweep value: mask probes >= n down to the hard code (probe 0),
+    dedupe, query.  ``n`` is a traced scalar so all 100 sweep values
+    share one compilation."""
+    n_probes = raw_codes.shape[1]
+    live = jnp.arange(n_probes)[None, :] < n
+    ids = jnp.where(live, raw_codes, raw_codes[:, :1])
+    probe_ids, probe_valid = packing.dedupe_codes(ids)
+    return query_bucket_table(
+        table, corpus, queries, probe_ids, probe_valid,
+        k=k, probe_budget=probe_budget, metric=metric, query_chunk=query_chunk,
+    )
+
+
+def run_sweep(hashing, params, corpus, queries, ground_truth, k,
+              max_probes=100, metric="cosine", seed=0, probe_budget=None):
+    """Returns a list of dicts {n_probes, avg_n_candidates, recall}."""
+    codes = hash_corpus(hashing, params, corpus)
+    table = build_bucket_table(codes, hashing.n_buckets)
+    if probe_budget is None:
+        probe_budget = max(int(table.max_count()), 1)
+    raw = sample_probe_codes(
+        hashing, params, queries, max_probes, jax.random.PRNGKey(seed)
+    )
+    chunk = default_query_chunk(max_probes, probe_budget, queries.shape[1])
+    results = []
+    for n in range(1, max_probes + 1):
+        topk, n_cand = _sweep_step(
+            table, corpus, queries, raw, jnp.asarray(n), k=k,
+            probe_budget=probe_budget, metric=metric, query_chunk=chunk,
+        )
+        recall = calculate_recall(ground_truth[:, :k], np.asarray(topk), np.mean)
+        results.append({
+            "n_probes": n,
+            "avg_n_candidates": float(np.mean(np.asarray(n_cand))),
+            "recall": float(recall),
+        })
+    return results
+
+
+def main(argv: list[str] | None = None):
+    args = nlsh_eval_argparse().parse_args(argv)
+    model_path = args.model_path
+    import os
+
+    if not (os.path.exists(model_path) or os.path.exists(model_path + ".json")):
+        model_path = os.path.join(
+            get_env("NLSH_MODEL_SAVE_DIR", "/tmp/nlsh_models"), model_path
+        )
+
+    hashing, params = load_model(model_path)
+    data = get_data_by_id(args.data_id).load()
+
+    results = run_sweep(
+        hashing, params,
+        jnp.asarray(data.training), jnp.asarray(data.testing),
+        np.asarray(data.ground_truth), args.k,
+        max_probes=args.max_probes, metric=data.metric, seed=args.seed,
+    )
+    for r in results:
+        print(r["avg_n_candidates"], r["recall"])
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+    return results
+
+
+if __name__ == "__main__":
+    main()

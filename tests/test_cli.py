@@ -1,0 +1,124 @@
+"""CLI tests: train + eval sweep + precompute through their entry
+functions on synthetic/small data."""
+
+import json
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlsh_tpu.cli.evaluate import run_sweep, main as eval_main
+from nlsh_tpu.cli.precompute import precompute
+from nlsh_tpu.cli.train import main as train_main, nlsh_argparse
+from nlsh_tpu.data import SyntheticDataset
+from nlsh_tpu.models.encoders import MLPEncoder
+from nlsh_tpu.models.hashings import MultivariateBernoulli
+
+
+def test_argparse_defaults_match_reference():
+    args = nlsh_argparse().parse_args(["--data_id", "synthetic"])
+    assert args.k == 10
+    assert args.hash_size == 12
+    assert args.encoder_structure == [256, 256]
+    assert args.hashing_type == "MultivariateBernoulli"
+    assert args.distance_type == "L2"
+    assert args.batch_size == 1024
+    assert args.learning_rate == 3e-4
+    assert args.lambda1 == 2e-2
+
+
+@pytest.mark.parametrize("learner", ["triplet", "siamese", "proposed", "ae", "vqvae"])
+def test_train_cli_all_learners(learner, tmp_path):
+    state = train_main([
+        "--data_id", "synthetic",
+        "--learner_type", learner,
+        "--debug",
+        "-hs", "4", "-es", "16", "-et", "mlp",
+        "-bs", "256", "--epochs", "1",
+        "--test_every_updates", "8", "--max_steps", "8",
+        "--hash_times", "3",
+        "--model_save_dir", str(tmp_path),
+    ])
+    assert int(state.step) == 8
+
+
+def test_train_cli_tanh_cosine(tmp_path):
+    state = train_main([
+        "--data_id", "synthetic", "--learner_type", "triplet", "--debug",
+        "-ht", "MultivariateBernoulliTanh", "-dt", "Cosine",
+        "-hs", "4", "-es", "16", "-et", "mlp", "-bs", "256",
+        "--epochs", "1", "--max_steps", "4", "--test_every_updates", "4",
+        "--hash_times", "3", "--model_save_dir", str(tmp_path),
+    ])
+    assert int(state.step) == 4
+
+
+def test_train_cli_rejects_bad_combo(tmp_path):
+    with pytest.raises(RuntimeError):
+        train_main([
+            "--data_id", "synthetic", "--debug", "-ht",
+            "MultivariateBernoulli", "-dt", "Cosine",
+            "--model_save_dir", str(tmp_path),
+        ])
+
+
+def test_eval_sweep_monotone_candidates():
+    """More probes -> more candidates, and recall at n=max must be >=
+    recall at n=1 (more candidates can only help the exact rerank)."""
+    data = SyntheticDataset(n_train=1024, n_test=64, dim=8, metric="cosine",
+                            k_ground_truth=10, seed=1).load()
+    hashing = MultivariateBernoulli(MLPEncoder(8, (16,)), 5)
+    params = hashing.init(jax.random.PRNGKey(0))
+    results = run_sweep(
+        hashing, params, jnp.asarray(data.training), jnp.asarray(data.testing),
+        np.asarray(data.ground_truth), k=5, max_probes=8, metric="cosine",
+    )
+    assert len(results) == 8
+    cands = [r["avg_n_candidates"] for r in results]
+    assert all(b >= a for a, b in zip(cands, cands[1:]))
+    assert results[-1]["recall"] >= results[0]["recall"]
+    assert results[0]["n_probes"] == 1
+
+
+def test_eval_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """Full artifact path: save a model, point eval at synthetic data."""
+    from nlsh_tpu.utils.checkpoint import save_model
+
+    hashing = MultivariateBernoulli(MLPEncoder(32, (16,)), 4)
+    params = hashing.init(jax.random.PRNGKey(0))
+    base = str(tmp_path / "model_0.5")
+    save_model(base, hashing, params)
+
+    out_json = str(tmp_path / "sweep.jsonl")
+    results = eval_main([
+        "--model_path", base, "--data_id", "synthetic", "-k", "5",
+        "--max_probes", "4", "--json_out", out_json,
+    ])
+    assert len(results) == 4
+    lines = [json.loads(l) for l in open(out_json)]
+    assert [l["n_probes"] for l in lines] == [1, 2, 3, 4]
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert len(printed) == 4  # (avg_n_candidates, recall) per probe count
+
+
+def test_precompute_writes_processed(tmp_path):
+    rng = np.random.default_rng(0)
+    train = rng.normal(size=(256, 8)).astype(np.float32)
+    test = rng.normal(size=(32, 8)).astype(np.float32)
+    src = str(tmp_path / "toy.hdf5")
+    with h5py.File(src, "w") as f:
+        f.create_dataset("train", data=train)
+        f.create_dataset("test", data=test)
+        f.create_dataset("neighbors", data=np.zeros((32, 10), dtype=np.int64))
+        f.create_dataset("distances", data=np.zeros((32, 10), dtype=np.float32))
+
+    out = precompute(src, "cosine", k=5)
+    assert out == src + ".processed"
+    with h5py.File(out) as f:
+        knn = np.asarray(f["train_knn"])
+        assert knn.shape == (256, 5)
+        assert set(f.keys()) == {"train", "train_knn", "test", "neighbors", "distances"}
+    # self-exclusion: no row is its own neighbour
+    assert not (knn == np.arange(256)[:, None]).any()
