@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark harness — run on one real TPU chip, print ONE JSON line.
+
+Headline metric (BASELINE.json): query throughput (QPS) on a
+glove-100-angular-shaped workload at the reference operating point
+(12-bit MultivariateBernoulli + SIREN trunk, multi-probe 10,
+exact cosine rerank, k=10), with recall@10 and index build time
+reported alongside.  ``vs_baseline`` is QPS / 100_000 — the
+north-star ≥100k QPS/chip target (the reference itself publishes no
+numbers; see BASELINE.md).
+
+Dataset: ann-benchmarks files are not shipped in this image, so the
+workload is synthetic clustered data with the exact glove-100 shape
+(1.18M corpus x 100 dims, 10k queries, cosine), with ground truth from
+the exact MXU brute-force search.  A short triplet fit on a corpus
+subset stands in for the full training run (training quality is
+covered by tests; this file measures the serving path).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_CORPUS = 1_183_514  # glove-100-angular training-set size
+DIM = 100
+N_QUERIES = 10_000
+K = 10
+HASH_SIZE = 12
+HASH_TIMES = 10
+TRAIN_SUBSET = 131_072
+TRAIN_STEPS = 300
+SEED = 0
+
+
+class _BenchData:
+    """Minimal Dataset-duck for the trainer: a corpus subset with
+    self-kNN GT."""
+
+    def __init__(self, training, testing, ground_truth, train_knn, metric):
+        self.training = training
+        self.testing = testing
+        self.ground_truth = ground_truth
+        self.training_self_knn = train_knn
+        self.metric = metric
+        self.prepared = True
+        self.dim = training.shape[1]
+
+    def load(self):
+        return self
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nlsh_tpu.index import Indexer
+    from nlsh_tpu.models import get_encoder, get_hashing
+    from nlsh_tpu.ops.knn import knn, self_knn
+    from nlsh_tpu.train import TripletTrainer
+    from nlsh_tpu.utils.metrics import calculate_recall
+
+    t_start = time.perf_counter()
+    rng = np.random.default_rng(SEED)
+
+    # -- synthetic glove-100-shaped workload (clustered, unit sphere) ---
+    n_clusters = 4096
+    centers = rng.normal(size=(n_clusters, DIM)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=N_CORPUS + N_QUERIES)
+    pts = centers[assign] + 0.35 * rng.normal(
+        size=(N_CORPUS + N_QUERIES, DIM)
+    ).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    corpus_np, queries_np = pts[:N_CORPUS], pts[N_CORPUS:]
+    corpus = jnp.asarray(corpus_np)
+    queries = jnp.asarray(queries_np)
+
+    # -- exact ground truth on the MXU ----------------------------------
+    t0 = time.perf_counter()
+    _, gt = knn(queries, corpus, k=K, metric="cosine",
+                query_tile=1024, corpus_chunk=131_072)
+    gt = np.asarray(jax.block_until_ready(gt))
+    gt_s = time.perf_counter() - t0
+
+    # -- short training run on a subset ---------------------------------
+    sub_idx = rng.choice(N_CORPUS, TRAIN_SUBSET, replace=False)
+    subset = corpus_np[sub_idx]
+    t0 = time.perf_counter()
+    sub_knn = np.asarray(self_knn(jnp.asarray(subset), k=20, metric="cosine",
+                                  query_tile=1024, corpus_chunk=131_072))
+    knn_s = time.perf_counter() - t0
+
+    data = _BenchData(subset, queries_np[:256], gt[:256], sub_knn, "cosine")
+    enc = get_encoder("siren", DIM, [256, 256])
+    hashing = get_hashing("MultivariateBernoulli", enc, HASH_SIZE)
+    trainer = TripletTrainer(hashing, data, "/tmp", margin=0.5, positive_k=20)
+    t0 = time.perf_counter()
+    state = trainer.fit(K=K, batch_size=2048, learning_rate=1e-3,
+                        epochs=100, test_every_updates=100_000,
+                        max_steps=TRAIN_STEPS, hash_times=HASH_TIMES,
+                        seed=SEED)
+    train_s = time.perf_counter() - t0
+    params = state.params["hashing"]
+
+    # -- index build on the FULL corpus (the build-time metric) ---------
+    t0 = time.perf_counter()
+    indexer = Indexer(hashing, params, corpus, metric="cosine")
+    jax.block_until_ready(indexer.table.row_ids)
+    build_s = time.perf_counter() - t0
+
+    # serving operating point: fixed candidate budget per probe
+    mean_bucket = N_CORPUS / hashing.n_buckets
+    budget = 1 << int(np.ceil(np.log2(4 * mean_bucket)))
+    indexer.probe_budget = min(budget, indexer.probe_budget)
+
+    # -- query: warm once, then measure ---------------------------------
+    qkey = jax.random.PRNGKey(SEED + 1)
+    top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES, key=qkey)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
+                                    key=qkey)
+        times.append(time.perf_counter() - t0)
+    qps = N_QUERIES / min(times)
+    recall = float(calculate_recall(gt, top, np.mean))
+    query_size = float(np.mean(n_cand))
+
+    result = {
+        "metric": "qps_glove100_shape_1.18M_recall_constrained",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / 100_000, 4),
+        "recall_at_10": round(recall, 4),
+        "query_size": round(query_size, 1),
+        "probe_budget": int(indexer.probe_budget),
+        "build_s": round(build_s, 2),
+        "train_s": round(train_s, 1),
+        "gt_s": round(gt_s, 1),
+        "subset_knn_s": round(knn_s, 1),
+        "total_s": round(time.perf_counter() - t_start, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

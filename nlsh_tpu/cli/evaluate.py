@@ -69,10 +69,11 @@ def _sweep_step(table, corpus, queries, raw_codes, n, k, probe_budget, metric,
     live = jnp.arange(n_probes)[None, :] < n
     ids = jnp.where(live, raw_codes, raw_codes[:, :1])
     probe_ids, probe_valid = packing.dedupe_codes(ids)
-    return query_bucket_table(
+    topk_ids, _, n_cand = query_bucket_table(
         table, corpus, queries, probe_ids, probe_valid,
         k=k, probe_budget=probe_budget, metric=metric, query_chunk=query_chunk,
     )
+    return topk_ids, n_cand
 
 
 def run_sweep(hashing, params, corpus, queries, ground_truth, k,

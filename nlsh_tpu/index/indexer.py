@@ -97,7 +97,7 @@ class Indexer:
             query_chunk = default_query_chunk(
                 hash_times, self.probe_budget, queries.shape[1]
             )
-        topk_ids, n_cand = query_bucket_table(
+        topk_ids, _, n_cand = query_bucket_table(
             self.table,
             self.corpus,
             queries,

@@ -26,9 +26,15 @@ Semantics vs the reference:
 * ``n_candidates`` counts full bucket occupancies of deduped probes —
   the reference's ``query_size`` axis (``indexer.py:70-78``) — even if
   the budget truncates the reranked set.
-* under-full results are padded with ``-1`` (never matching ground
-  truth) instead of the reference's silent exception fallback that
-  drops candidates (``indexer.py:92-93``, a known wart).
+* under-full results are padded with ``-1`` ids / ``+inf`` distances
+  (never matching ground truth) instead of the reference's silent
+  exception fallback that drops candidates (``indexer.py:92-93``, a
+  known wart).
+
+The kernel also returns the reranked top-k *distances* so sharded
+deployments can merge per-shard results with a cross-chip top-k
+(:mod:`nlsh_tpu.parallel.sharded_index`), and accepts ``n_valid_rows``
+so corpora padded up to a shard multiple exclude their padding rows.
 """
 
 from __future__ import annotations
@@ -64,7 +70,8 @@ def query_bucket_table(
     probe_budget: int,
     metric: str = "cosine",
     query_chunk: int = 256,
-) -> tuple[Array, Array]:
+    n_valid_rows: Array | None = None,
+) -> tuple[Array, Array, Array]:
     """Answer ``queries`` against the indexed ``corpus``.
 
     Args:
@@ -79,10 +86,13 @@ def query_bucket_table(
         the table's max occupancy for exact reference semantics.
       metric: rerank metric name (original vector space).
       query_chunk: queries per pipeline step.
+      n_valid_rows: optional scalar — corpus rows >= this are padding
+        and never returned (sharded corpora pad to a shard multiple).
 
     Returns:
       ``topk_ids``: ``(nq, k)`` int32 corpus rows, ascending distance,
       ``-1``-padded when a query has fewer than ``k`` candidates.
+      ``topk_dists``: ``(nq, k)`` float32, ``+inf`` on padding.
       ``n_candidates``: ``(nq,)`` int32 — summed occupancy of probed
       buckets (the reference ``query_size`` axis).
     """
@@ -90,6 +100,8 @@ def query_bucket_table(
     nq, dim = queries.shape
     n_probes = probe_ids.shape[1]
     n_rows = table.n_rows
+    if n_valid_rows is None:
+        n_valid_rows = jnp.asarray(n_rows, jnp.int32)
 
     # Pad the query axis to a whole number of chunks.
     n_chunks = -(-nq // query_chunk)
@@ -111,6 +123,7 @@ def query_bucket_table(
         cand_rows = table.row_ids[jnp.clip(cand_pos, 0, n_rows - 1)]
         cand_rows = cand_rows.reshape(q.shape[0], n_probes * probe_budget)
         cand_valid = cand_valid.reshape(q.shape[0], n_probes * probe_budget)
+        cand_valid &= cand_rows < n_valid_rows
 
         cand_vecs = jnp.take(corpus, cand_rows, axis=0)  # (c, C, d) HBM gather
         dist = rowwise(q[:, None, :], cand_vecs)  # (c, C)
@@ -119,13 +132,14 @@ def query_bucket_table(
         neg_top, arg_top = jax.lax.top_k(-dist, k)
         top_rows = jnp.take_along_axis(cand_rows, arg_top, axis=1)
         top_rows = jnp.where(jnp.isfinite(neg_top), top_rows, -1).astype(jnp.int32)
-        return top_rows, jnp.sum(counts, axis=1, dtype=jnp.int32)
+        return top_rows, -neg_top, jnp.sum(counts, axis=1, dtype=jnp.int32)
 
     q_c = queries_p.reshape(n_chunks, query_chunk, dim)
     ids_c = ids_p.reshape(n_chunks, query_chunk, n_probes)
     valid_c = valid_p.reshape(n_chunks, query_chunk, n_probes)
-    topk_ids, n_cand = jax.lax.map(chunk_fn, (q_c, ids_c, valid_c))
+    topk_ids, topk_dists, n_cand = jax.lax.map(chunk_fn, (q_c, ids_c, valid_c))
     return (
         topk_ids.reshape(-1, k)[:nq],
+        topk_dists.reshape(-1, k)[:nq],
         n_cand.reshape(-1)[:nq],
     )

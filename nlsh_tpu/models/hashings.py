@@ -44,6 +44,16 @@ class MultivariateBernoulli:
     code_distance: Any = None  # carried for trainer convenience, as in the reference
     tanh_output: bool = False
 
+    def __post_init__(self):
+        if self.code_distance is None:
+            from nlsh_tpu.ops.code_distances import get_code_distance
+
+            object.__setattr__(
+                self,
+                "code_distance",
+                get_code_distance("Cosine" if self.tanh_output else "L2"),
+            )
+
     @property
     def n_buckets(self) -> int:
         return 2 ** self.hash_size
@@ -116,6 +126,14 @@ class Categorical:
     encoder: Any
     hash_size: int
     code_distance: Any = None
+
+    def __post_init__(self):
+        if self.code_distance is None:
+            from nlsh_tpu.ops.code_distances import get_code_distance
+
+            object.__setattr__(
+                self, "code_distance", get_code_distance("CategoricalL2")
+            )
 
     @property
     def n_buckets(self) -> int:

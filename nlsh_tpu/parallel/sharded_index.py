@@ -1,0 +1,173 @@
+"""Corpus-sharded bucket tables: the distributed inverted index.
+
+For corpora beyond one chip's HBM (the scale axis the reference only
+stubs — ``BigANN1B``/``Deep1B`` at ``nlsh/data.py:204-209``), the
+corpus is sharded row-wise across the mesh.  Each device hashes its
+rows and builds a *local* CSR bucket table; a query is broadcast to
+every device, answered locally (probe gather -> exact rerank -> local
+top-k), and the per-shard (distance, global-row-id) top-k lists are
+merged with one ``all_gather`` over ICI followed by a final ``top_k``.
+``query_size`` is the ``psum`` of local probed-bucket occupancies.
+
+Exactness: hard hashing partitions every shard's rows among buckets, so
+the union of per-shard candidate sets equals the single-chip candidate
+set, and top-k of a union equals top-k of merged per-shard top-ks —
+the merged result is bitwise the single-chip result (modulo fp
+reduction order).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nlsh_tpu.index.bucket_table import BucketTable, build_bucket_table
+from nlsh_tpu.index.query import default_query_chunk, query_bucket_table
+
+shard_map = jax.shard_map
+
+Array = jnp.ndarray
+
+
+class ShardedIndexer:
+    """Build-once, query-many inverted index sharded over a 1-D mesh.
+
+    Args:
+      hashing: hashing model (replicated).
+      params: its params (replicated).
+      corpus: ``(n, d)`` — will be padded to a multiple of the mesh size
+        and sharded row-wise.
+      mesh: 1-D ``Mesh``; its axis name is the shard axis.
+    """
+
+    def __init__(self, hashing, params, corpus, mesh: Mesh,
+                 metric: str = "cosine", probe_budget: int | None = None):
+        self.hashing = hashing
+        self.params = params
+        self.mesh = mesh
+        self.metric = metric
+        self._query_cache: dict = {}
+        (self.axis,) = mesh.axis_names
+        n_dev = mesh.devices.size
+
+        corpus = jnp.asarray(corpus)
+        self.n_real = corpus.shape[0]
+        pad = (-self.n_real) % n_dev
+        if pad:
+            corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+        self.n_padded = corpus.shape[0]
+        self.n_local = self.n_padded // n_dev
+        self.corpus = jax.device_put(
+            corpus, NamedSharding(mesh, P(self.axis, None))
+        )
+
+        n_buckets = hashing.n_buckets
+        axis = self.axis
+        n_local = self.n_local
+        n_real = self.n_real
+
+        @jax.jit
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=P(axis, None),
+            out_specs=(P(axis), P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+        def build_local(corpus_local):
+            shard = jax.lax.axis_index(axis)
+            codes = hashing.hash_hard(params, corpus_local)  # (n_local,)
+            gid = shard * n_local + jnp.arange(n_local, dtype=jnp.int32)
+            # padding rows get the out-of-range sentinel: dropped from
+            # counts by the scatter's mode='drop' and sorted last
+            codes = jnp.where(gid < n_real, codes, n_buckets)
+            t = build_bucket_table(codes, n_buckets)
+            return t.row_ids, t.starts[None, :], t.counts[None, :]
+
+        row_ids, starts, counts = build_local(self.corpus)
+        # global shapes: (n_padded,), (n_dev, n_buckets), (n_dev, n_buckets)
+        self.row_ids, self.starts, self.counts = row_ids, starts, counts
+        if probe_budget is None:
+            probe_budget = int(jnp.max(counts))
+        self.probe_budget = max(int(probe_budget), 1)
+
+    # -- observability ----------------------------------------------------
+    def n_buckets_used(self) -> int:
+        """Occupied (shard, bucket) cells — each shard owns a slice of
+        every bucket."""
+        return int(jnp.sum(self.counts > 0))
+
+    def occupancy_std(self) -> float:
+        counts = np.asarray(self.counts).reshape(-1)
+        occ = counts[counts > 0]
+        return float(occ.std()) if occ.size else 0.0
+
+    # -- query --------------------------------------------------------------
+    def _query_fn(self, k: int, query_chunk: int):
+        """Build (and cache) the jitted sharded query kernel for a given
+        (k, query_chunk) — jit caches by function identity, so the
+        closure must be constructed once per static configuration."""
+        cache_key = (k, query_chunk)
+        if cache_key in self._query_cache:
+            return self._query_cache[cache_key]
+
+        axis, n_local = self.axis, self.n_local
+        metric, budget = self.metric, self.probe_budget
+
+        @jax.jit
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis, None), P(axis, None), P(axis, None),
+                      P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        def q(row_ids, starts, counts, corpus_local, qs, pids, pvalid):
+            shard = jax.lax.axis_index(axis)
+            table = BucketTable(row_ids, starts[0], counts[0])
+            top_ids, top_d, ncand = query_bucket_table(
+                table, corpus_local, qs, pids, pvalid,
+                k=k, probe_budget=budget, metric=metric,
+                query_chunk=query_chunk,
+            )
+            gids = jnp.where(top_ids >= 0, top_ids + shard * n_local, -1)
+            # cross-chip merge: gather every shard's top-k, re-top-k
+            all_d = jax.lax.all_gather(top_d, axis)  # (D, nq, k)
+            all_i = jax.lax.all_gather(gids, axis)
+            nq = qs.shape[0]
+            all_d = jnp.moveaxis(all_d, 0, 1).reshape(nq, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(nq, -1)
+            neg_top, arg = jax.lax.top_k(-all_d, k)
+            merged_i = jnp.take_along_axis(all_i, arg, axis=1)
+            merged_i = jnp.where(jnp.isfinite(neg_top), merged_i, -1)
+            return merged_i, -neg_top, jax.lax.psum(ncand, axis)
+
+        self._query_cache[cache_key] = q
+        return q
+
+    def query(self, queries, k: int = 10, hash_times: int = 10, key=None,
+              query_chunk: int | None = None):
+        """Multi-probe query against all shards; returns
+        ``(topk_ids (nq, k), n_candidates (nq,))`` as numpy (global row
+        ids, merged across shards)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        queries = jnp.asarray(queries)
+        probe_ids, probe_valid = self.hashing.hash(
+            self.params, queries, n_probes=hash_times, key=key
+        )
+        if query_chunk is None:
+            query_chunk = default_query_chunk(
+                hash_times, self.probe_budget, queries.shape[1]
+            )
+        q = self._query_fn(k, query_chunk)
+        ids, _, ncand = q(
+            self.row_ids, self.starts, self.counts, self.corpus,
+            queries, probe_ids, probe_valid,
+        )
+        return np.asarray(ids), np.asarray(ncand)

@@ -175,10 +175,16 @@ class Trainer(abc.ABC):
         n_train_probe: int = 10000,
         max_steps: int | None = None,
         resume_from: str | None = None,
+        mesh=None,
     ):
         """Train (reference ``fit``, ``base.py:36-115``; defaults match —
         the reference CLI passes ``test_every_updates=300``,
-        ``main.py:398-403``)."""
+        ``main.py:398-403``).
+
+        ``mesh``: optional 1-D ``jax.sharding.Mesh``; when given, each
+        step's batch is split across the mesh with gradient ``pmean``
+        over ICI (:mod:`nlsh_tpu.parallel.dp`).
+        """
         if not self.data.prepared:
             self.data.load()
         key = jax.random.PRNGKey(seed)
@@ -206,10 +212,18 @@ class Trainer(abc.ABC):
         if resume_from:
             state = ckpt.load_train_state(resume_from, state)
 
-        run_segment = self._build_segment_runner(tx, corpus, knn, batch_size)
+        if mesh is None:
+            run_segment = self._build_segment_runner(tx, corpus, knn, batch_size)
+        else:
+            from nlsh_tpu.parallel.dp import build_dp_segment_runner
+
+            run_segment = build_dp_segment_runner(
+                self.loss_fn, tx, corpus, knn, batch_size, mesh
+            )
         n_batches = n // batch_size
         if n_batches == 0:
             raise ValueError(f"batch_size {batch_size} exceeds corpus size {n}")
+        n_usable = n_batches * batch_size
 
         best_recall, best_query_size = 0.0, float("inf")
         eval_key = jax.random.PRNGKey(seed + 1)
@@ -218,6 +232,9 @@ class Trainer(abc.ABC):
         for epoch in range(epochs):
             key, ak, sk = jax.random.split(key, 3)
             arrays = self.epoch_arrays(ak, state.params)
+            # Only the first n_batches * batch_size rows are consumed per
+            # epoch; trimming keeps shard_map row counts divisible.
+            arrays = {k2: v[:n_usable] for k2, v in arrays.items()}
 
             done = 0
             while done < n_batches and not stop:

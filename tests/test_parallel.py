@@ -1,0 +1,168 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh: data-parallel
+training, corpus-sharded index (exactness vs single chip), and
+multi-table ensembles (plain and table-sharded)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlsh_tpu.data import SyntheticDataset
+from nlsh_tpu.index import Indexer
+from nlsh_tpu.models.encoders import MLPEncoder
+from nlsh_tpu.models.hashings import MultivariateBernoulli
+from nlsh_tpu.parallel import MultiTableIndexer, ShardedIndexer, make_mesh
+from nlsh_tpu.parallel.multitable import init_multi_table
+from nlsh_tpu.train import TripletTrainer
+from nlsh_tpu.utils.metrics import calculate_recall
+
+
+@pytest.fixture(scope="module")
+def data():
+    return SyntheticDataset(n_train=1024, n_test=128, dim=8, n_clusters=32,
+                            metric="cosine", k_ground_truth=10, seed=0).load()
+
+
+def _hashing(bits=5, dim=8):
+    return MultivariateBernoulli(MLPEncoder(dim, (16,)), bits)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(axis="data")
+    assert mesh.devices.size == 8
+
+
+def test_dp_training_runs_and_stays_replicated(data, tmp_path):
+    mesh = make_mesh(axis="data")
+    hashing = _hashing()
+    tr = TripletTrainer(hashing, data, str(tmp_path), positive_k=5, margin=0.5)
+    state = tr.fit(K=5, batch_size=128, epochs=1, test_every_updates=4,
+                   max_steps=8, hash_times=3, mesh=mesh)
+    assert int(state.step) == 8
+    for leaf in jax.tree.leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dp_loss_decreases(data, tmp_path):
+    import json
+    from nlsh_tpu.utils.loggers import JSONLLogger
+
+    mesh = make_mesh(axis="data")
+    hashing = _hashing(bits=5)
+    log = tmp_path / "dp.jsonl"
+    tr = TripletTrainer(hashing, data, str(tmp_path), JSONLLogger(str(log)),
+                        positive_k=5, margin=0.5)
+    tr.fit(K=5, batch_size=128, learning_rate=3e-3, epochs=20,
+           test_every_updates=64, max_steps=120, hash_times=3, mesh=mesh)
+    losses = [json.loads(l)["value"] for l in log.read_text().splitlines()
+              if json.loads(l).get("name") == "training/loss"]
+    assert len(losses) == 120
+    assert np.mean(losses[:15]) > np.mean(losses[-15:])
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_index_matches_single_chip(data, n_shards):
+    """Merged per-shard top-k must equal the single-chip result:
+    identical candidate counts and identical top-k distance profiles."""
+    hashing = _hashing()
+    params = hashing.init(jax.random.PRNGKey(0))
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    key = jax.random.PRNGKey(7)
+
+    single = Indexer(hashing, params, corpus, metric="cosine")
+    s_top, s_cand = single.query(queries, k=5, hash_times=4, key=key)
+
+    mesh = make_mesh(n_shards, axis="shard")
+    sharded = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine")
+    m_top, m_cand = sharded.query(queries, k=5, hash_times=4, key=key)
+
+    np.testing.assert_array_equal(m_cand, s_cand)
+
+    def dists(top):
+        c = np.asarray(corpus)
+        q = np.asarray(queries)
+        out = np.full(top.shape, np.inf, np.float64)
+        for i in range(top.shape[0]):
+            for j in range(top.shape[1]):
+                if top[i, j] >= 0:
+                    a, b = q[i], c[top[i, j]]
+                    out[i, j] = 1 - a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        return out
+
+    np.testing.assert_allclose(dists(m_top), dists(s_top), rtol=1e-4, atol=1e-5)
+    # id sets match where distances are untied
+    same = (np.sort(m_top, 1) == np.sort(s_top, 1)).mean()
+    assert same > 0.99
+
+
+def test_sharded_index_nondivisible_corpus():
+    """Corpus size not divisible by shard count: padding rows must never
+    be returned."""
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(101, 8)).astype(np.float32)
+    hashing = _hashing()
+    params = hashing.init(jax.random.PRNGKey(1))
+    mesh = make_mesh(8, axis="shard")
+    sharded = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine")
+    top, ncand = sharded.query(jnp.asarray(corpus[:16]), k=3, hash_times=2,
+                               key=jax.random.PRNGKey(2))
+    assert (top < 101).all()
+    assert (ncand <= 101).all()
+    # self-retrieval still holds
+    assert (top[:, 0] == np.arange(16)).all()
+
+
+def test_multitable_single_table_equals_indexer(data):
+    hashing = _hashing()
+    params1 = hashing.init(jax.random.PRNGKey(0))
+    stacked = jax.tree.map(lambda x: x[None], params1)
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+
+    single = Indexer(hashing, params1, corpus, metric="cosine")
+    s_top, s_cand = single.query(queries, k=5, hash_times=1)
+
+    mt = MultiTableIndexer(hashing, stacked, corpus, metric="cosine")
+    m_top, m_cand = mt.query(queries, k=5, hash_times=1)
+
+    np.testing.assert_array_equal(m_cand, s_cand)  # distinct == occupancy here
+    assert (np.sort(m_top, 1) == np.sort(s_top, 1)).mean() > 0.99
+
+
+def test_multitable_more_tables_more_candidates(data):
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    p1 = init_multi_table(hashing, 1, jax.random.PRNGKey(3))
+    p4 = init_multi_table(hashing, 4, jax.random.PRNGKey(3))
+    mt1 = MultiTableIndexer(hashing, p1, corpus, metric="cosine")
+    mt4 = MultiTableIndexer(hashing, p4, corpus, metric="cosine")
+    _, c1 = mt1.query(queries, k=5)
+    top4, c4 = mt4.query(queries, k=5)
+    assert c4.mean() > c1.mean()
+
+    gt = np.asarray(data.ground_truth)[:, :5]
+    r1 = calculate_recall(gt, mt1.query(queries, k=5)[0], np.mean)
+    r4 = calculate_recall(gt, top4, np.mean)
+    assert r4 >= r1  # ensemble can only widen the candidate union
+
+
+def test_multitable_sharded_matches_unsharded(data):
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    stacked = init_multi_table(hashing, 8, jax.random.PRNGKey(4))
+
+    plain = MultiTableIndexer(hashing, stacked, corpus, metric="cosine")
+    p_top, p_cand = plain.query(queries, k=5)
+
+    mesh = make_mesh(4, axis="table")
+    sharded = MultiTableIndexer(hashing, stacked, corpus, metric="cosine",
+                                mesh=mesh)
+    s_top, s_cand = sharded.query(queries, k=5)
+
+    # merged ids are exact; the sharded candidate count is a documented
+    # upper bound (cross-device duplicates are not globally deduped)
+    assert (s_cand >= p_cand).all()
+    assert (np.sort(p_top, 1) == np.sort(s_top, 1)).mean() > 0.99

@@ -58,7 +58,7 @@ def test_query_matches_reference_dict_walk():
     )
 
     table = build_bucket_table(jnp.asarray(bucket_ids), n_buckets=n_buckets)
-    got_top, got_ncand = query_bucket_table(
+    got_top, got_dists, got_ncand = query_bucket_table(
         table,
         jnp.asarray(corpus),
         jnp.asarray(queries),
@@ -88,7 +88,7 @@ def test_query_budget_truncation_counts_full_occupancy():
     table = build_bucket_table(bucket_ids, n_buckets=2)
     probe_ids = jnp.array([[0]], dtype=jnp.int32)
     probe_valid = jnp.ones((1, 1), dtype=bool)
-    top, ncand = query_bucket_table(
+    top, _, ncand = query_bucket_table(
         table, jnp.asarray(corpus), jnp.asarray(corpus[:1]),
         probe_ids, probe_valid, k=2, probe_budget=2, metric="euclidean",
         query_chunk=8,
