@@ -57,16 +57,33 @@ class Indexer:
         corpus: Array,
         metric: str = "cosine",
         probe_budget: int | None = None,
+        engine: str = "auto",
     ):
+        if engine not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.hashing = hashing
         self.params = params
         self.corpus = corpus
         self.metric = metric
+        self.engine = engine
         codes = hash_corpus(hashing, params, corpus)
         self.table = build_bucket_table(codes, hashing.n_buckets)
         if probe_budget is None:
             probe_budget = int(self.table.max_count())
         self.probe_budget = max(int(probe_budget), 1)
+        self._layout = None
+
+    @property
+    def layout(self):
+        """Lazily-built bucket-contiguous serving layout (Pallas path)."""
+        if self._layout is None:
+            from nlsh_tpu.ops.pallas.query_kernel import serving_layout
+
+            self._layout = serving_layout(
+                self.table, self.corpus, metric=self.metric,
+                cap=self.probe_budget,
+            )
+        return self._layout
 
     # -- observability (reference trainers/base.py:87-90) ------------------
     def n_buckets_used(self) -> int:
@@ -93,6 +110,17 @@ class Indexer:
         probe_ids, probe_valid = self.hashing.hash(
             self.params, queries, n_probes=hash_times, key=key
         )
+        use_pallas = self.engine == "pallas" or (
+            self.engine == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas and self.metric in ("cosine", "euclidean", "sq_euclidean"):
+            from nlsh_tpu.index.serving import serving_query
+
+            ids, _, n_cand = serving_query(
+                self.layout, queries, probe_ids, probe_valid,
+                self.table.counts, k=k,
+            )
+            return np.asarray(ids), np.asarray(n_cand)
         if query_chunk is None:
             query_chunk = default_query_chunk(
                 hash_times, self.probe_budget, queries.shape[1]

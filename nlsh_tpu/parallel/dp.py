@@ -25,14 +25,15 @@ shard_map = jax.shard_map
 from nlsh_tpu.train.base import TrainState
 
 
-def build_dp_segment_runner(loss_fn, tx, corpus, knn, batch_size: int, mesh: Mesh):
+def build_dp_segment_runner(loss_fn, tx, batch_size: int, mesh: Mesh):
     """Data-parallel drop-in for ``Trainer._build_segment_runner``.
 
     Same call signature as the single-chip runner:
-    ``run(state, arrays, seg_start, key, n_steps)`` — but each step's
-    global batch of ``batch_size`` rows is split ``batch_size / D`` per
-    device and gradients are ``pmean``-ed before the (replicated)
-    optimizer update.
+    ``run(state, corpus, knn, arrays, seg_start, key, n_steps)`` — but
+    each step's global batch of ``batch_size`` rows is split
+    ``batch_size / D`` per device and gradients are ``pmean``-ed before
+    the (replicated) optimizer update.  Corpus/knn stay replicated
+    (each device gathers arbitrary rows).
 
     Requirements: ``batch_size`` divisible by the mesh size, and every
     array in ``arrays`` trimmed to a multiple of ``n_batches *
@@ -46,8 +47,9 @@ def build_dp_segment_runner(loss_fn, tx, corpus, knn, batch_size: int, mesh: Mes
         )
     local_bs = batch_size // n_dev
 
-    def run_segment(state: TrainState, arrays, seg_start, key, n_steps: int):
-        def sharded_body(state, arrays_local, seg_start, key):
+    def run_segment(state: TrainState, corpus, knn, arrays, seg_start, key,
+                    n_steps: int):
+        def sharded_body(state, corpus, knn, arrays_local, seg_start, key):
             def body(carry: TrainState, i):
                 step_in_epoch = seg_start + i
                 start = step_in_epoch * local_bs
@@ -81,6 +83,8 @@ def build_dp_segment_runner(loss_fn, tx, corpus, knn, batch_size: int, mesh: Mes
             mesh=mesh,
             in_specs=(
                 P(),                                   # state: replicated
+                P(),                                   # corpus: replicated
+                P(),                                   # knn: replicated
                 jax.tree.map(lambda _: P(axis), arrays),  # epoch arrays: row-sharded
                 P(),                                   # seg_start
                 P(),                                   # key
@@ -88,6 +92,6 @@ def build_dp_segment_runner(loss_fn, tx, corpus, knn, batch_size: int, mesh: Mes
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return sharded(state, arrays, seg_start, key)
+        return sharded(state, corpus, knn, arrays, seg_start, key)
 
     return jax.jit(run_segment, static_argnames=("n_steps",))

@@ -91,10 +91,16 @@ class Trainer(abc.ABC):
         return {}
 
     # -- jitted machinery ----------------------------------------------
-    def _build_segment_runner(self, tx, corpus: Array, knn: Array, batch_size: int):
+    def _build_segment_runner(self, tx, batch_size: int):
+        """Returns a jitted ``run(state, corpus, knn, arrays, seg_start,
+        key, n_steps)``.  Corpus/knn are runtime arguments, NOT closure
+        captures — captured device arrays become compile-time constants,
+        which bloats executables (and remote-compile payloads) by the
+        whole corpus size."""
         loss_fn = self.loss_fn
 
-        def run_segment(state: TrainState, arrays, seg_start, key, n_steps: int):
+        def run_segment(state: TrainState, corpus, knn, arrays, seg_start,
+                        key, n_steps: int):
             def body(carry: TrainState, i):
                 step_in_epoch = seg_start + i
                 start = step_in_epoch * batch_size
@@ -213,12 +219,12 @@ class Trainer(abc.ABC):
             state = ckpt.load_train_state(resume_from, state)
 
         if mesh is None:
-            run_segment = self._build_segment_runner(tx, corpus, knn, batch_size)
+            run_segment = self._build_segment_runner(tx, batch_size)
         else:
             from nlsh_tpu.parallel.dp import build_dp_segment_runner
 
             run_segment = build_dp_segment_runner(
-                self.loss_fn, tx, corpus, knn, batch_size, mesh
+                self.loss_fn, tx, batch_size, mesh
             )
         n_batches = n // batch_size
         if n_batches == 0:
@@ -245,7 +251,8 @@ class Trainer(abc.ABC):
                         stop = True
                         break
                 state, losses = run_segment(
-                    state, arrays, jnp.asarray(done, jnp.int32), sk, seg
+                    state, corpus, knn, arrays, jnp.asarray(done, jnp.int32),
+                    sk, seg,
                 )
                 losses = np.asarray(losses)
                 base_step = int(state.step) - seg

@@ -1,0 +1,91 @@
+"""Serving (Pallas) query path tests — interpreter mode on CPU, checked
+against the XLA reference pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlsh_tpu.index.bucket_table import build_bucket_table
+from nlsh_tpu.index.indexer import Indexer
+from nlsh_tpu.index.query import query_bucket_table
+from nlsh_tpu.index.serving import serving_query
+from nlsh_tpu.models.encoders import MLPEncoder
+from nlsh_tpu.models.hashings import MultivariateBernoulli
+from nlsh_tpu.ops.pallas.query_kernel import serving_layout
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_serving_matches_xla_path(metric):
+    rng = np.random.default_rng(0)
+    n, d, nb, nq, P, k = 400, 24, 16, 33, 5, 7
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    bucket_ids = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
+    probe_raw = np.sort(rng.integers(0, nb, (nq, P)).astype(np.int32), axis=1)
+    probe_valid = np.concatenate(
+        [np.ones((nq, 1), bool), probe_raw[:, 1:] != probe_raw[:, :-1]], axis=1
+    )
+    probe_ids = jnp.asarray(probe_raw)
+    probe_valid = jnp.asarray(probe_valid)
+
+    table = build_bucket_table(bucket_ids, nb)
+    x_top, x_dist, x_cand = query_bucket_table(
+        table, corpus, queries, probe_ids, probe_valid, k=k,
+        probe_budget=int(table.max_count()), metric=metric, query_chunk=8,
+    )
+
+    layout = serving_layout(table, corpus, metric=metric)
+    s_top, s_scores, s_cand = serving_query(
+        layout, queries, probe_ids, probe_valid, table.counts, k=k,
+        interpret=True,
+    )
+
+    np.testing.assert_array_equal(np.asarray(s_cand), np.asarray(x_cand))
+    # same candidates in the same distance order (ties aside)
+    x_top, s_top = np.asarray(x_top), np.asarray(s_top)
+    agree = (x_top == s_top).mean()
+    assert agree > 0.98, f"only {agree:.3f} of top-k ids agree"
+    # score monotonicity: scores descend where valid
+    s_scores = np.asarray(s_scores)
+    for i in range(nq):
+        v = s_scores[i][np.isfinite(s_scores[i])]
+        assert (np.diff(v) <= 1e-5).all()
+
+
+def test_serving_cap_truncation():
+    """cap smaller than the biggest bucket truncates candidates but keeps
+    full occupancy in n_candidates."""
+    rng = np.random.default_rng(1)
+    corpus = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    bucket_ids = jnp.zeros(64, jnp.int32)  # all in bucket 0
+    table = build_bucket_table(bucket_ids, 4)
+    layout = serving_layout(table, corpus, metric="cosine", cap=16)
+    probe_ids = jnp.zeros((3, 1), jnp.int32)
+    probe_valid = jnp.ones((3, 1), bool)
+    ids, scores, ncand = serving_query(
+        layout, corpus[:3], probe_ids, probe_valid, table.counts, k=4,
+        interpret=True,
+    )
+    assert (np.asarray(ncand) == 64).all()
+    assert (np.asarray(ids) >= 0).all()
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_indexer_pallas_engine_matches_xla():
+    rng = np.random.default_rng(2)
+    corpus = rng.normal(size=(512, 16)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    hashing = MultivariateBernoulli(MLPEncoder(16, (32,)), 5)
+    params = hashing.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+
+    idx_x = Indexer(hashing, params, jnp.asarray(corpus), metric="cosine",
+                    engine="xla")
+    idx_p = Indexer(hashing, params, jnp.asarray(corpus), metric="cosine",
+                    engine="pallas")
+    t1, c1 = idx_x.query(jnp.asarray(corpus[:32]), k=5, hash_times=4, key=key)
+    t2, c2 = idx_p.query(jnp.asarray(corpus[:32]), k=5, hash_times=4, key=key)
+    np.testing.assert_array_equal(c1, c2)
+    assert (t1 == t2).mean() > 0.98
+    assert (t2[:, 0] == np.arange(32)).all()  # self-retrieval
