@@ -31,7 +31,7 @@ K = 10
 HASH_SIZE = 12
 HASH_TIMES = 10
 TRAIN_SUBSET = 131_072
-TRAIN_STEPS = 300
+TRAIN_STEPS = 1000
 SEED = 0
 
 
@@ -109,33 +109,55 @@ def main():
     indexer = Indexer(hashing, params, corpus, metric="cosine")
     jax.block_until_ready(indexer.table.row_ids)
     build_s = time.perf_counter() - t0
+    max_bucket = indexer.probe_budget
 
-    # serving operating point: fixed candidate budget per probe
-    mean_bucket = N_CORPUS / hashing.n_buckets
-    budget = 1 << int(np.ceil(np.log2(4 * mean_bucket)))
-    indexer.probe_budget = min(budget, indexer.probe_budget)
-
-    # -- query: warm once, then measure ---------------------------------
+    # Serving operating point: per-probe block size (cap).  QPS scales
+    # ~1/cap while recall saturates once cap covers most probed buckets;
+    # sweep a few caps and report the fastest point whose recall stays
+    # within 1% of the exact (cap = max bucket) recall.
     qkey = jax.random.PRNGKey(SEED + 1)
-    top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES, key=qkey)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    mean_bucket = N_CORPUS / hashing.n_buckets
+    caps = sorted({
+        1 << int(np.ceil(np.log2(1.5 * mean_bucket))),
+        1 << int(np.ceil(np.log2(3 * mean_bucket))),
+        max_bucket,
+    })
+    sweep = []
+    for cap in caps:
+        indexer.probe_budget = int(cap)
+        indexer._layout = None  # rebuild serving layout at this cap
         top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
-                                    key=qkey)
-        times.append(time.perf_counter() - t0)
-    qps = N_QUERIES / min(times)
-    recall = float(calculate_recall(gt, top, np.mean))
-    query_size = float(np.mean(n_cand))
+                                    key=qkey)  # warm/compile
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
+                                        key=qkey)
+            times.append(time.perf_counter() - t0)
+        sweep.append({
+            "cap": int(indexer.layout.cap),
+            "qps": N_QUERIES / min(times),
+            "recall": float(calculate_recall(gt, top, np.mean)),
+            "query_size": float(np.mean(n_cand)),
+        })
+
+    exact_recall = sweep[-1]["recall"]
+    eligible = [s for s in sweep if s["recall"] >= exact_recall - 0.01]
+    best = max(eligible, key=lambda s: s["qps"])
 
     result = {
         "metric": "qps_glove100_shape_1.18M_recall_constrained",
-        "value": round(qps, 1),
+        "value": round(best["qps"], 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / 100_000, 4),
-        "recall_at_10": round(recall, 4),
-        "query_size": round(query_size, 1),
-        "probe_budget": int(indexer.probe_budget),
+        "vs_baseline": round(best["qps"] / 100_000, 4),
+        "recall_at_10": round(best["recall"], 4),
+        "query_size": round(best["query_size"], 1),
+        "cap": best["cap"],
+        "max_bucket": int(max_bucket),
+        "cap_sweep": [
+            {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in s.items()} for s in sweep
+        ],
         "build_s": round(build_s, 2),
         "train_s": round(train_s, 1),
         "gt_s": round(gt_s, 1),

@@ -61,6 +61,9 @@ def nlsh_argparse() -> argparse.ArgumentParser:
     p.add_argument("-spm", "--siamese_positive_margin", type=float, default=0.0)
     p.add_argument("-snm", "--siamese_negative_margin", type=float, default=0.1)
     p.add_argument("-spr", "--siamese_positive_rate", type=float, default=0.1)
+    p.add_argument("--n_tables", type=int, default=1,
+                   help="train an L-table ensemble jointly (triplet/"
+                        "siamese/proposed learners)")
     p.add_argument("--lambda1", type=float, default=2e-2)
     p.add_argument("-bs", "--batch_size", type=int, default=1024)
     p.add_argument("-lr", "--learning_rate", type=float, default=3e-4)
@@ -204,6 +207,11 @@ def main(argv: list[str] | None = None):
     logger = get_logger_from_args(args)
     print("=== prepare learner ===")
     learner = get_learner_from_args(args, hashing, data, logger, model_save_dir)
+    if args.n_tables > 1:
+        from nlsh_tpu.train import MultiTableTrainer
+
+        logger.meta(params={"n_tables": args.n_tables})
+        learner = MultiTableTrainer(learner, args.n_tables)
 
     print("Start training")
     return learner.fit(

@@ -43,16 +43,34 @@ class Dataset:
         self._unit_ball = unit_ball
         self._prepared = False
 
+    # retry policy the reference left as a TODO (data.py:20,116)
+    _LOAD_RETRIES = 3
+    _RETRY_WAIT_S = 5.0
+
     def load(self):
+        import time
+
         import h5py
 
-        with h5py.File(self._path, "r") as f:
-            self._training = np.asarray(f["train"], dtype=np.float32)
-            self._testing = np.asarray(f["test"], dtype=np.float32)
-            self._ground_truth = np.asarray(f["neighbors"])
-            self._training_self_knn = (
-                np.asarray(f["train_knn"]) if "train_knn" in f else None
-            )
+        last_err = None
+        for attempt in range(self._LOAD_RETRIES):
+            try:
+                with h5py.File(self._path, "r") as f:
+                    self._training = np.asarray(f["train"], dtype=np.float32)
+                    self._testing = np.asarray(f["test"], dtype=np.float32)
+                    self._ground_truth = np.asarray(f["neighbors"])
+                    self._training_self_knn = (
+                        np.asarray(f["train_knn"]) if "train_knn" in f else None
+                    )
+                break
+            except OSError as e:  # transient FS/NFS errors
+                last_err = e
+                if attempt + 1 < self._LOAD_RETRIES:
+                    time.sleep(self._RETRY_WAIT_S)
+        else:
+            raise OSError(
+                f"failed to read {self._path} after {self._LOAD_RETRIES} attempts"
+            ) from last_err
 
         if self._unit_norm:
             mean = self._training.mean(0)

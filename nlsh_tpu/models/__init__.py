@@ -9,5 +9,6 @@ from nlsh_tpu.models.encoders import (  # noqa: F401
 from nlsh_tpu.models.hashings import (  # noqa: F401
     MultivariateBernoulli,
     Categorical,
+    ProductQuantization,
     get_hashing,
 )

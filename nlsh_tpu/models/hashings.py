@@ -169,6 +169,105 @@ class Categorical:
         return jnp.argmax(self.predict(params, x), axis=-1).astype(jnp.int32)
 
 
+@dataclasses.dataclass(frozen=True)
+class ProductQuantization:
+    """Learned product-quantisation hashing.
+
+    The reference declares this class but leaves it an empty stub
+    (``hashings.py:142-145``); implemented here: the encoder output
+    feeds ``n_bands`` independent softmax heads of ``2**bits_per_band``
+    sub-buckets each; the bucket id concatenates the per-band argmax
+    codes (band 0 highest bits).  Multi-probe samples each band's
+    categorical independently.
+
+    ``predict`` returns the concatenated band probabilities
+    ``(n, n_bands * 2**bits_per_band)`` so the generic code distances
+    (L2 / cosine on probability vectors) apply unchanged.
+    """
+
+    encoder: Any
+    n_bands: int
+    bits_per_band: int
+    code_distance: Any = None
+
+    def __post_init__(self):
+        if self.code_distance is None:
+            from nlsh_tpu.ops.code_distances import get_code_distance
+
+            object.__setattr__(
+                self, "code_distance", get_code_distance("CategoricalL2")
+            )
+
+    @property
+    def band_size(self) -> int:
+        return 2 ** self.bits_per_band
+
+    @property
+    def hash_size(self) -> int:
+        return self.n_bands * self.bits_per_band
+
+    @property
+    def n_buckets(self) -> int:
+        return 2 ** self.hash_size
+
+    @property
+    def output_dim(self) -> int:
+        return self.n_bands * self.band_size
+
+    def init(self, key) -> Params:
+        ek, ok = jax.random.split(key)
+        return {
+            "encoder": self.encoder.init(ek),
+            "out": _linear_init(
+                ok, self.encoder.output_dim, self.n_bands * self.band_size, True
+            ),
+        }
+
+    def _band_probs(self, params: Params, x: Array) -> Array:
+        z = _linear_apply(params["out"], self.encoder.apply(params["encoder"], x))
+        z = z.reshape(x.shape[0], self.n_bands, self.band_size)
+        return jax.nn.softmax(z, axis=-1)
+
+    def predict(self, params: Params, x: Array) -> Array:
+        return self._band_probs(params, x).reshape(x.shape[0], -1)
+
+    probs = predict
+
+    def _pack_bands(self, band_codes: Array) -> Array:
+        """(..., n_bands) sub-codes -> packed int32, band 0 high bits."""
+        shifts = self.bits_per_band * jnp.arange(
+            self.n_bands - 1, -1, -1, dtype=jnp.int32
+        )
+        return jnp.sum(
+            band_codes.astype(jnp.int32) << shifts, axis=-1, dtype=jnp.int32
+        )
+
+    def hash_hard(self, params: Params, x: Array) -> Array:
+        codes = jnp.argmax(self._band_probs(params, x), axis=-1)  # (n, M)
+        return self._pack_bands(codes)
+
+    def hash(
+        self, params: Params, x: Array, n_probes: int = 1, key: Array | None = None
+    ) -> tuple[Array, Array]:
+        p = self._band_probs(params, x)  # (n, M, B)
+        hard = jnp.argmax(p, axis=-1)[:, None, :]  # (n, 1, M)
+        if n_probes == 1:
+            codes = hard
+        else:
+            if key is None:
+                raise ValueError("multi-probe hashing needs a PRNG `key`")
+            sampled = jax.random.categorical(
+                key, jnp.log(p[:, None, :, :] + 1e-20),
+                axis=-1, shape=(x.shape[0], n_probes - 1, self.n_bands),
+            )
+            codes = jnp.concatenate([hard, sampled], axis=1)  # (n, probes, M)
+        ids = self._pack_bands(codes)
+        s = jnp.sort(ids, axis=-1)
+        first = jnp.ones_like(s[:, :1], dtype=bool)
+        valid = jnp.concatenate([first, s[:, 1:] != s[:, :-1]], axis=-1)
+        return s, valid
+
+
 def get_hashing(
     hashing_type: str,
     encoder: Any,
@@ -194,5 +293,14 @@ def get_hashing(
     if hashing_type == "Categorical":
         return Categorical(
             encoder, hash_size, code_distance or get_code_distance("CategoricalL2")
+        )
+    if hashing_type == "ProductQuantization":
+        # hash_size total bits split into 4-bit bands by default
+        bits_per_band = 4 if hash_size % 4 == 0 else (
+            2 if hash_size % 2 == 0 else 1
+        )
+        return ProductQuantization(
+            encoder, hash_size // bits_per_band, bits_per_band,
+            code_distance or get_code_distance("CategoricalL2"),
         )
     raise ValueError(f"{hashing_type!r} is not a valid hashing type")

@@ -90,6 +90,18 @@ class Trainer(abc.ABC):
     def init_extra(self, key: Array) -> Any:
         return {}
 
+    def init_hashing_params(self, key: Array) -> Any:
+        """Hook so ensemble trainers can stack params on a table axis."""
+        return self.hashing.init(key)
+
+    def save_checkpoint(self, state: "TrainState", recall: float) -> None:
+        base = (
+            f"{self.model_save_dir}/{self.logger.run_name}"
+            f"_{int(state.step)}_{recall:.4f}"
+        )
+        ckpt.save_model(base, self.hashing, state.params["hashing"])
+        ckpt.save_train_state(base + ".state", state)
+
     # -- jitted machinery ----------------------------------------------
     def _build_segment_runner(self, tx, batch_size: int):
         """Returns a jitted ``run(state, corpus, knn, arrays, seg_start,
@@ -210,7 +222,7 @@ class Trainer(abc.ABC):
 
         key, ik, ek = jax.random.split(key, 3)
         params = {
-            "hashing": self.hashing.init(ik),
+            "hashing": self.init_hashing_params(ik),
             "extra": self.init_extra(ek),
         }
         tx = optax.amsgrad(learning_rate)
@@ -234,6 +246,7 @@ class Trainer(abc.ABC):
         best_recall, best_query_size = 0.0, float("inf")
         eval_key = jax.random.PRNGKey(seed + 1)
         stop = False
+        last_eval_bucket = 0  # eval fires once per test_every_updates steps
 
         for epoch in range(epochs):
             key, ak, sk = jax.random.split(key, 3)
@@ -260,7 +273,13 @@ class Trainer(abc.ABC):
                     self.logger.log("training/loss", float(loss), base_step + i + 1)
                 done += seg
 
-                if done % test_every_updates == 0 or done == n_batches:
+                # Reference cadence: evaluate every test_every_updates
+                # global steps (base.py:80).  Segments stay epoch-aligned
+                # (two compile shapes), so the eval fires at the first
+                # segment boundary past each multiple.
+                eval_bucket = int(state.step) // test_every_updates
+                if eval_bucket > last_eval_bucket:
+                    last_eval_bucket = eval_bucket
                     recall, query_size = self._evaluate(
                         state.params, corpus, val_gpu, ground_truth,
                         probe_train, probe_gt, K, hash_times,
@@ -268,12 +287,7 @@ class Trainer(abc.ABC):
                     )
                     if recall > best_recall and query_size < best_query_size:
                         best_recall, best_query_size = recall, query_size
-                        base = (
-                            f"{self.model_save_dir}/{self.logger.run_name}"
-                            f"_{int(state.step)}_{recall:.4f}"
-                        )
-                        ckpt.save_model(base, self.hashing, state.params["hashing"])
-                        ckpt.save_train_state(base + ".state", state)
+                        self.save_checkpoint(state, recall)
             if stop:
                 break
         return state

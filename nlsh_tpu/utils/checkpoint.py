@@ -23,11 +23,19 @@ import jax
 import numpy as np
 
 from nlsh_tpu.models.encoders import MLPEncoder, SirenEncoder
-from nlsh_tpu.models.hashings import Categorical, MultivariateBernoulli
+from nlsh_tpu.models.hashings import (
+    Categorical,
+    MultivariateBernoulli,
+    ProductQuantization,
+)
 from nlsh_tpu.ops.code_distances import get_code_distance
 
 _ENCODERS = {"MLPEncoder": MLPEncoder, "SirenEncoder": SirenEncoder}
-_HASHINGS = {"MultivariateBernoulli": MultivariateBernoulli, "Categorical": Categorical}
+_HASHINGS = {
+    "MultivariateBernoulli": MultivariateBernoulli,
+    "Categorical": Categorical,
+    "ProductQuantization": ProductQuantization,
+}
 
 
 def _to_bytes(tree: Any) -> bytes:
@@ -79,6 +87,9 @@ def hashing_config(hashing) -> dict:
     }
     if isinstance(hashing, MultivariateBernoulli):
         cfg["tanh_output"] = hashing.tanh_output
+    if isinstance(hashing, ProductQuantization):
+        cfg["n_bands"] = hashing.n_bands
+        cfg["bits_per_band"] = hashing.bits_per_band
     return cfg
 
 
@@ -88,20 +99,26 @@ def build_hashing(cfg: dict):
     enc_cls = _ENCODERS[ec.pop("type")]
     ec["hidden_dims"] = tuple(ec["hidden_dims"])
     enc = enc_cls(**ec)
+    dist = get_code_distance(cfg["code_distance"]) if cfg.get("code_distance") else None
+    if cfg["type"] == "ProductQuantization":
+        return ProductQuantization(
+            enc, cfg["n_bands"], cfg["bits_per_band"], dist
+        )
     kwargs = {}
     if cfg["type"] == "MultivariateBernoulli":
         kwargs["tanh_output"] = cfg.get("tanh_output", False)
-    dist = get_code_distance(cfg["code_distance"]) if cfg.get("code_distance") else None
     return _HASHINGS[cfg["type"]](enc, cfg["hash_size"], dist, **kwargs)
 
 
-def save_model(base_path: str, hashing, params) -> None:
+def save_model(base_path: str, hashing, params, n_tables: int | None = None) -> None:
     """Export ``<base>.json`` + ``<base>.msgpack`` — the analogue of the
     reference's TorchScript ``save`` (``hashings.py:53-57``), but
-    loadable."""
+    loadable.  ``n_tables`` marks multi-table stacked params."""
     base = Path(base_path)
     base.parent.mkdir(parents=True, exist_ok=True)
     cfg = hashing_config(hashing)
+    if n_tables is not None:
+        cfg["n_tables"] = int(n_tables)
     # NB: append, don't Path.with_suffix — base names may contain dots
     # (e.g. a recall value like `run_300_0.6528`).
     Path(str(base) + ".json").write_text(json.dumps(cfg, indent=2))
@@ -118,7 +135,12 @@ def load_model(base_path: str):
             base = base[: -len(suffix)]
     cfg = json.loads(Path(base + ".json").read_text())
     hashing = build_hashing(cfg)
-    like = hashing.init(jax.random.PRNGKey(0))
+    if cfg.get("n_tables"):
+        from nlsh_tpu.parallel.multitable import init_multi_table
+
+        like = init_multi_table(hashing, cfg["n_tables"], jax.random.PRNGKey(0))
+    else:
+        like = hashing.init(jax.random.PRNGKey(0))
     params = _from_bytes(like, Path(base + ".msgpack").read_bytes())
     return hashing, params
 

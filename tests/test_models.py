@@ -115,4 +115,32 @@ def test_hashing_factory():
     assert get_hashing("MultivariateBernoulliTanh", enc, 4).tanh_output
     assert isinstance(get_hashing("Categorical", enc, 4), Categorical)
     with pytest.raises(ValueError):
-        get_hashing("ProductQuantization", enc, 4)
+        get_hashing("SimHash", enc, 4)
+
+
+def test_product_quantization():
+    from nlsh_tpu.models.hashings import ProductQuantization, get_hashing
+
+    enc = MLPEncoder(10, (16,))
+    pq = get_hashing("ProductQuantization", enc, 8)  # 2 bands x 4 bits
+    assert isinstance(pq, ProductQuantization)
+    assert pq.n_bands == 2 and pq.bits_per_band == 4
+    assert pq.n_buckets == 256
+
+    params = pq.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 10)).astype(np.float32))
+    p = np.asarray(pq.predict(params, x))
+    assert p.shape == (16, 2 * 16)
+    # per-band probabilities sum to 1
+    np.testing.assert_allclose(p.reshape(16, 2, 16).sum(-1), 1.0, rtol=1e-5)
+
+    hard = np.asarray(pq.hash_hard(params, x))
+    assert ((hard >= 0) & (hard < 256)).all()
+    # hard code = packed per-band argmaxes
+    band_arg = p.reshape(16, 2, 16).argmax(-1)
+    np.testing.assert_array_equal(hard, band_arg[:, 0] * 16 + band_arg[:, 1])
+
+    ids, valid = pq.hash(params, x, n_probes=5, key=jax.random.PRNGKey(1))
+    assert ids.shape == (16, 5)
+    for i in range(16):
+        assert hard[i] in np.asarray(ids)[i][np.asarray(valid)[i]].tolist()
