@@ -118,12 +118,14 @@ def main():
     qkey = jax.random.PRNGKey(SEED + 1)
     mean_bucket = N_CORPUS / hashing.n_buckets
     caps = sorted({
-        1 << int(np.ceil(np.log2(1.5 * mean_bucket))),
-        1 << int(np.ceil(np.log2(3 * mean_bucket))),
+        1 << int(np.ceil(np.log2(2 * mean_bucket))),
         max_bucket,
     })
     sweep = []
     for cap in caps:
+        # engine "pallas" (fixed-cap streaming): the grouped engine is
+        # faster at steady state but its first-call compile (~100s via
+        # the remote compiler) doesn't fit the bench budget yet
         indexer.probe_budget = int(cap)
         indexer._layout = None  # rebuild serving layout at this cap
         top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
@@ -131,8 +133,8 @@ def main():
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
-                                        key=qkey)
+            top, n_cand = indexer.query(queries, k=K,
+                                        hash_times=HASH_TIMES, key=qkey)
             times.append(time.perf_counter() - t0)
         sweep.append({
             "cap": int(indexer.layout.cap),

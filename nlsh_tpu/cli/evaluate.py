@@ -77,7 +77,8 @@ def _sweep_step(table, corpus, queries, raw_codes, n, k, probe_budget, metric,
 
 
 def run_sweep(hashing, params, corpus, queries, ground_truth, k,
-              max_probes=100, metric="cosine", seed=0, probe_budget=None):
+              max_probes=100, metric="cosine", seed=0, probe_budget=None,
+              engine="auto"):
     """Returns a list of dicts {n_probes, avg_n_candidates, recall}."""
     codes = hash_corpus(hashing, params, corpus)
     table = build_bucket_table(codes, hashing.n_buckets)
@@ -86,13 +87,38 @@ def run_sweep(hashing, params, corpus, queries, ground_truth, k,
     raw = sample_probe_codes(
         hashing, params, queries, max_probes, jax.random.PRNGKey(seed)
     )
-    chunk = default_query_chunk(max_probes, probe_budget, queries.shape[1])
+
+    use_pallas = engine == "pallas" or (
+        engine == "auto"
+        and jax.default_backend() == "tpu"
+        and metric in ("cosine", "euclidean", "sq_euclidean")
+    )
+    if use_pallas:
+        from nlsh_tpu.index.serving import serving_query
+        from nlsh_tpu.ops.pallas.query_kernel import serving_layout
+
+        layout = serving_layout(table, corpus, metric=metric, cap=probe_budget)
+
+        def step(n):
+            live = jnp.arange(max_probes)[None, :] < n
+            ids = jnp.where(live, raw, raw[:, :1])
+            probe_ids, probe_valid = packing.dedupe_codes(ids)
+            topk, _, n_cand = serving_query(
+                layout, queries, probe_ids, probe_valid, table.counts, k=k
+            )
+            return topk, n_cand
+    else:
+        chunk = default_query_chunk(max_probes, probe_budget, queries.shape[1])
+
+        def step(n):
+            return _sweep_step(
+                table, corpus, queries, raw, n, k=k,
+                probe_budget=probe_budget, metric=metric, query_chunk=chunk,
+            )
+
     results = []
     for n in range(1, max_probes + 1):
-        topk, n_cand = _sweep_step(
-            table, corpus, queries, raw, jnp.asarray(n), k=k,
-            probe_budget=probe_budget, metric=metric, query_chunk=chunk,
-        )
+        topk, n_cand = step(jnp.asarray(n))
         recall = calculate_recall(ground_truth[:, :k], np.asarray(topk), np.mean)
         results.append({
             "n_probes": n,

@@ -59,7 +59,7 @@ class Indexer:
         probe_budget: int | None = None,
         engine: str = "auto",
     ):
-        if engine not in ("auto", "xla", "pallas"):
+        if engine not in ("auto", "xla", "pallas", "pallas-grouped"):
             raise ValueError(f"unknown engine {engine!r}")
         self.hashing = hashing
         self.params = params
@@ -110,13 +110,18 @@ class Indexer:
         probe_ids, probe_valid = self.hashing.hash(
             self.params, queries, n_probes=hash_times, key=key
         )
-        use_pallas = self.engine == "pallas" or (
-            self.engine == "auto" and jax.default_backend() == "tpu"
-        )
-        if use_pallas and self.metric in ("cosine", "euclidean", "sq_euclidean"):
-            from nlsh_tpu.index.serving import serving_query
+        engine = self.engine
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if engine != "xla" and self.metric in (
+            "cosine", "euclidean", "sq_euclidean"
+        ):
+            if engine == "pallas-grouped":
+                from nlsh_tpu.index.serving import serving_query_grouped as sq
+            else:
+                from nlsh_tpu.index.serving import serving_query as sq
 
-            ids, _, n_cand = serving_query(
+            ids, _, n_cand = sq(
                 self.layout, queries, probe_ids, probe_valid,
                 self.table.counts, k=k,
             )

@@ -16,12 +16,20 @@ import jax
 import jax.numpy as jnp
 
 from nlsh_tpu.ops.pallas.query_kernel import (
+    BLOCK_ROWS,
     ServingLayout,
+    _compact_prep,
+    _compact_scores,
     bucket_scores,
     extend_queries,
+    total_block_events,
 )
 
 Array = jnp.ndarray
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 @partial(jax.jit, static_argnames=("k", "interpret"))
@@ -67,3 +75,203 @@ def serving_query(
         jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
     )
     return ids, top_scores, n_cand
+
+
+@partial(jax.jit, static_argnames=("k", "b_total", "max_blocks", "interpret"))
+def _compact_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
+                       k: int, b_total: int, max_blocks: int,
+                       interpret: bool):
+    qe = extend_queries(layout, queries)
+    block_idx, qbe, cnt, q_start, q_nblocks, _ = _compact_prep(
+        layout.starts, layout.counts, probe_ids, probe_valid, qe,
+        jnp.asarray(layout.cap, jnp.int32), b_total=b_total,
+        max_blocks=max_blocks,
+    )
+    scores = _compact_scores(layout.data, qbe, block_idx, interpret=interpret)
+    # occupancy masking in XLA (keeps per-event metadata out of SMEM)
+    lane = jnp.arange(BLOCK_ROWS, dtype=jnp.int32)
+    scores = jnp.where(lane[None, :] < cnt[:, None], scores, -jnp.inf)
+
+    # per-query top-k over its contiguous block window
+    nq, n_probes = probe_ids.shape
+    max_bq = n_probes * max_blocks
+    win = q_start[:, None] + jnp.arange(max_bq, dtype=jnp.int32)  # (nq, maxBQ)
+    wvalid = jnp.arange(max_bq)[None, :] < q_nblocks[:, None]
+    safe_win = jnp.clip(win, 0, b_total - 1)
+    rows = scores[safe_win]  # (nq, maxBQ, BLOCK_ROWS)
+    rows = jnp.where(wvalid[:, :, None], rows, -jnp.inf)
+    flat = rows.reshape(nq, max_bq * BLOCK_ROWS)
+    top_scores, arg = jax.lax.top_k(flat, k)
+
+    blk_of = jnp.take_along_axis(safe_win, arg // BLOCK_ROWS, axis=1)
+    pos = block_idx[blk_of] * BLOCK_ROWS + arg % BLOCK_ROWS
+    pos = jnp.clip(pos, 0, layout.n_rows - 1)
+    ids = layout.row_map[pos]
+    ids = jnp.where(jnp.isfinite(top_scores), ids, -1).astype(jnp.int32)
+
+    safe = jnp.clip(probe_ids, 0, full_counts.shape[0] - 1)
+    n_cand = jnp.sum(
+        jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
+    )
+    return ids, top_scores, n_cand
+
+
+def serving_query_compact(
+    layout: ServingLayout,
+    queries: Array,
+    probe_ids: Array,
+    probe_valid: Array,
+    full_counts: Array,
+    k: int,
+    interpret: bool | None = None,
+    query_chunk: int = 2048,
+) -> tuple[Array, Array, Array]:
+    """Skew-proof serving path: bytes streamed scale with the probed
+    buckets' actual occupancy (compact BLOCK_ROWS-row block events)
+    instead of a fixed worst-case cap.  Same results as
+    :func:`serving_query` whenever ``layout.cap`` covers the probed
+    buckets.
+
+    Involves one host sync per chunk to size the static block stream
+    (rounded up to limit recompiles).
+    """
+    import jax as _jax
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    from nlsh_tpu.ops.pallas.query_kernel import _EVENT_BLOCK
+
+    nq = queries.shape[0]
+    max_blocks = layout.cap // BLOCK_ROWS
+    out_ids, out_scores, out_cand = [], [], []
+    for s in range(0, nq, query_chunk):
+        e = min(s + query_chunk, nq)
+        pid, pv = probe_ids[s:e], probe_valid[s:e]
+        t_actual = total_block_events(layout, pid, pv)
+        # round the stream length to the next power of two (in units of
+        # the event block) so compile variants stay logarithmic
+        units = max(-(-t_actual // _EVENT_BLOCK), 1)
+        b_total = _EVENT_BLOCK * (1 << max(units - 1, 0).bit_length())
+        ids, scores, n_cand = _compact_query_jit(
+            layout, queries[s:e], pid, pv, full_counts,
+            k=k, b_total=b_total, max_blocks=max_blocks,
+            interpret=interpret,
+        )
+        out_ids.append(ids)
+        out_scores.append(scores)
+        out_cand.append(n_cand)
+    if len(out_ids) == 1:
+        return out_ids[0], out_scores[0], out_cand[0]
+    return (
+        jnp.concatenate(out_ids, 0),
+        jnp.concatenate(out_scores, 0),
+        jnp.concatenate(out_cand, 0),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "g_total", "max_blocks", "interpret"))
+def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
+                       k: int, g_total: int, max_blocks: int,
+                       interpret: bool):
+    from nlsh_tpu.ops.pallas.query_kernel import (
+        GROUP_Q, _grouped_prep, _grouped_scores,
+    )
+
+    qe = extend_queries(layout, queries)
+    grp_block, grp_qvecs, grp_cnt, ev_row, ev_block, ev_valid, _ = (
+        _grouped_prep(
+            layout.starts, layout.counts, probe_ids, probe_valid, qe,
+            jnp.asarray(layout.cap, jnp.int32), g_total=g_total,
+            max_blocks=max_blocks,
+        )
+    )
+    scores = _grouped_scores(layout.data, grp_qvecs, grp_block,
+                             interpret=interpret)  # (g_total, G, BR)
+    lane = jnp.arange(BLOCK_ROWS, dtype=jnp.int32)
+    scores = jnp.where(lane[None, None, :] < grp_cnt[:, :, None],
+                       scores, -jnp.inf)
+
+    # per-score-row top-k first (dense, cheap), then regroup per query
+    flat = scores.reshape(g_total * GROUP_Q, BLOCK_ROWS)
+    row_top, row_lane = jax.lax.top_k(flat, min(k, BLOCK_ROWS))
+    kk = row_top.shape[1]
+
+    nq, n_probes = probe_ids.shape
+    ev_row3 = ev_row.reshape(nq, n_probes * max_blocks)
+    ev_valid2 = ev_valid.reshape(nq, n_probes * max_blocks)
+    safe_rows = jnp.clip(ev_row3, 0, g_total * GROUP_Q - 1)
+    ev_top = row_top[safe_rows]      # (nq, maxBQ, kk)
+    ev_lane = row_lane[safe_rows]
+    ev_top = jnp.where(ev_valid2[:, :, None], ev_top, -jnp.inf)
+
+    flat_top = ev_top.reshape(nq, -1)
+    top_scores, arg = jax.lax.top_k(flat_top, k)
+    which_ev = arg // kk
+    which_k = arg % kk
+    lane_sel = jnp.take_along_axis(
+        ev_lane.reshape(nq, -1), arg, axis=1
+    )
+    block_sel = jnp.take_along_axis(
+        ev_block.reshape(nq, -1), which_ev, axis=1
+    )
+    pos = jnp.clip(block_sel * BLOCK_ROWS + lane_sel, 0, layout.n_rows - 1)
+    ids = layout.row_map[pos]
+    ids = jnp.where(jnp.isfinite(top_scores), ids, -1).astype(jnp.int32)
+
+    safe = jnp.clip(probe_ids, 0, full_counts.shape[0] - 1)
+    n_cand = jnp.sum(
+        jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
+    )
+    return ids, top_scores, n_cand
+
+
+def serving_query_grouped(
+    layout: ServingLayout,
+    queries: Array,
+    probe_ids: Array,
+    probe_valid: Array,
+    full_counts: Array,
+    k: int,
+    interpret: bool | None = None,
+    query_chunk: int = 8192,
+) -> tuple[Array, Array, Array]:
+    """Bucket-grouped serving path (the fast engine): block events are
+    sorted by bucket block and queries sharing a block are scored with
+    one MXU matmul; hot blocks are fetched once.  Exact whenever
+    ``layout.cap`` covers the probed buckets.
+
+    One host sync per chunk sizes the static group table (rounded to a
+    power of two to bound compile variants).
+    """
+    import jax as _jax
+
+    from nlsh_tpu.ops.pallas.query_kernel import count_groups
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    nq = queries.shape[0]
+    max_blocks = layout.cap // BLOCK_ROWS
+    cap = jnp.asarray(layout.cap, jnp.int32)
+    out_ids, out_scores, out_cand = [], [], []
+    for s in range(0, nq, query_chunk):
+        e = min(s + query_chunk, nq)
+        pid, pv = probe_ids[s:e], probe_valid[s:e]
+        n_groups = int(count_groups(
+            layout.starts, layout.counts, pid, pv, cap, max_blocks=max_blocks
+        ))
+        g_total = 1 << max(n_groups - 1, 0).bit_length()
+        ids, scores, n_cand = _grouped_query_jit(
+            layout, queries[s:e], pid, pv, full_counts,
+            k=k, g_total=max(g_total, 1), max_blocks=max_blocks,
+            interpret=interpret,
+        )
+        out_ids.append(ids)
+        out_scores.append(scores)
+        out_cand.append(n_cand)
+    if len(out_ids) == 1:
+        return out_ids[0], out_scores[0], out_cand[0]
+    return (
+        jnp.concatenate(out_ids, 0),
+        jnp.concatenate(out_scores, 0),
+        jnp.concatenate(out_cand, 0),
+    )

@@ -95,11 +95,13 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
     n, d = corpus.shape
     if cap is None:
         cap = int(table.max_count())
-    sublane = 16 if dtype == jnp.bfloat16 else 8
-    cap = max(_round_up(cap, sublane), sublane)
+    # cap is a whole number of BLOCK_ROWS-row blocks so both the
+    # fixed-cap kernel (block index = start / cap) and the compact
+    # kernel (block index = start / BLOCK_ROWS) see exact block indices.
+    cap = max(_round_up(cap, BLOCK_ROWS), BLOCK_ROWS)
     # Buckets are aligned to whole cap-sized blocks so the auto-pipelined
-    # kernel can fetch bucket blocks through BlockSpec index maps
-    # (block index = start / cap); costs <= cap-1 pad rows per bucket.
+    # kernel can fetch bucket blocks through BlockSpec index maps;
+    # costs <= cap-1 pad rows per bucket.
     align = cap
 
     if metric == "cosine":
@@ -337,6 +339,299 @@ def _bucket_scores_auto(data, queries_ext, block_idx, counts,
     )(block_idx.reshape(-1), counts.reshape(-1), queries_ext,
       *([data] * eb))
     return out.reshape(nq_pad, n_probes, cap)[:nq]
+
+
+# ---------------------------------------------------------------------------
+# v3: compact block-event kernel — skew-proof streaming
+# ---------------------------------------------------------------------------
+#
+# The fixed-cap kernels stream `cap` rows per probe even when the probed
+# bucket is far smaller, so a few oversized buckets force everyone's cap
+# up and multiply HBM traffic.  Here each (query, probe) event expands
+# into ceil(count / block_rows) *block events* of a small fixed block
+# (block_rows rows), compacted into one flat stream: bytes streamed are
+# proportional to the candidates actually probed, independent of skew.
+#
+# Per-event metadata rides as data, not control: the per-event query
+# vector is pre-gathered into a (B_total, d_pad) array streamed through
+# the same pipeline, and occupancy masking happens in XLA afterwards —
+# only the block index itself needs scalar prefetch.
+
+BLOCK_ROWS = 128  # rows per compact block (one DMA)
+
+
+def _make_compact_kernel(eb: int, block_rows: int, d_pad: int):
+    def kernel(blkidx_ref, qbe_ref, *refs):
+        # qbe_ref: (eb, d_pad) per-event query rows; refs: eb corpus
+        # block refs then out_ref (eb, block_rows)
+        out_ref = refs[-1]
+        for j in range(eb):
+            q_col = qbe_ref[j, :].reshape(d_pad, 1)
+            out_ref[j, :] = jnp.dot(
+                refs[j][...].astype(jnp.float32), q_col,
+                preferred_element_type=jnp.float32,
+            )[:, 0]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _compact_scores(data, qbe, block_idx, interpret: bool):
+    """Score every compact block event: ``(B_total, block_rows)``.
+
+    data: (n_aligned, d_pad); qbe: (B_total, d_pad) per-event query
+    rows; block_idx: (B_total,) int32 block numbers into `data`.
+    """
+    b_total, d_pad = qbe.shape
+    eb = _EVENT_BLOCK
+    assert b_total % eb == 0
+
+    def corpus_spec(j):
+        return pl.BlockSpec(
+            (BLOCK_ROWS, d_pad),
+            lambda i, blk: (blk[i * eb + j], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_total // eb,),
+        in_specs=[
+            pl.BlockSpec((eb, d_pad), lambda i, blk: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [corpus_spec(j) for j in range(eb)],
+        out_specs=pl.BlockSpec((eb, BLOCK_ROWS), lambda i, blk: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_compact_kernel(eb, BLOCK_ROWS, d_pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_total, BLOCK_ROWS), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(block_idx, qbe, *([data] * eb))
+
+
+@partial(jax.jit, static_argnames=("b_total", "max_blocks"))
+def _compact_prep(layout_starts, layout_counts, probe_ids, probe_valid,
+                  queries_ext, cap: Array, b_total: int, max_blocks: int):
+    """Expand (query, probe) events into the flat block-event stream.
+
+    Returns (block_idx (B,), qbe (B, d_pad), cnt (B,), q_start (nq,),
+    q_nblocks (nq,)) with B = b_total; unused slots point at block 0
+    with cnt 0.
+    """
+    nq, n_probes = probe_ids.shape
+    safe = jnp.clip(probe_ids, 0, layout_starts.shape[0] - 1)
+    counts = jnp.where(
+        probe_valid, jnp.minimum(layout_counts[safe], cap), 0
+    ).astype(jnp.int32)
+    base_block = (layout_starts[safe] // BLOCK_ROWS).astype(jnp.int32)
+
+    flat_counts = counts.reshape(-1)  # (E,)
+    flat_base = base_block.reshape(-1)
+    nb = -(-flat_counts // BLOCK_ROWS)  # blocks per event
+    ev_end = jnp.cumsum(nb, dtype=jnp.int32)
+    ev_start = ev_end - nb
+
+    j = jnp.arange(max_blocks, dtype=jnp.int32)
+    pos = ev_start[:, None] + j  # (E, maxB)
+    valid = j < nb[:, None]
+    pos = jnp.where(valid, pos, b_total)  # sentinel -> dropped
+
+    block_idx = (
+        jnp.zeros((b_total,), jnp.int32)
+        .at[pos.reshape(-1)]
+        .set((flat_base[:, None] + j).reshape(-1), mode="drop")
+    )
+    cnt = (
+        jnp.zeros((b_total,), jnp.int32)
+        .at[pos.reshape(-1)]
+        .set(
+            jnp.clip(flat_counts[:, None] - j * BLOCK_ROWS, 0, BLOCK_ROWS)
+            .reshape(-1),
+            mode="drop",
+        )
+    )
+    qidx_flat = jnp.repeat(
+        jnp.arange(nq, dtype=jnp.int32), n_probes
+    )  # (E,)
+    qidx = (
+        jnp.zeros((b_total,), jnp.int32)
+        .at[pos.reshape(-1)]
+        .set(
+            jnp.broadcast_to(qidx_flat[:, None], pos.shape).reshape(-1),
+            mode="drop",
+        )
+    )
+    qbe = queries_ext[qidx]  # (B, d_pad)
+
+    q_start = ev_start.reshape(nq, n_probes)[:, 0]
+    q_nblocks = jnp.sum(nb.reshape(nq, n_probes), axis=1)
+    return block_idx, qbe, cnt, q_start, q_nblocks, counts
+
+
+# ---------------------------------------------------------------------------
+# v4: bucket-grouped kernel — one MXU matmul per (block, query-group)
+# ---------------------------------------------------------------------------
+#
+# Per-grid-step cost, not bytes, bounds the per-event kernels: a
+# 128-row matvec is ~100x cheaper than the step bookkeeping around it.
+# Grouping fixes the arithmetic: block events are SORTED by block
+# index, so queries probing the same bucket block become one program
+# computing a real (G x d) @ (d x rows) MXU matmul, and consecutive
+# programs that reuse a hot block skip its re-fetch entirely (Mosaic's
+# pipeline elides DMAs whose block index is unchanged).  Grid steps
+# shrink from #events to #groups ~ #distinct-blocks x ceil(m/G).
+
+GROUP_Q = 8  # queries per group (matmul columns)
+
+
+def _grouped_kernel(grpblk_ref, qgrp_ref, corpus_ref, out_ref):
+    # qgrp (1, G, d_pad); corpus (BLOCK_ROWS, d_pad); out (1, G, BLOCK_ROWS)
+    out_ref[0] = jax.lax.dot_general(
+        qgrp_ref[0], corpus_ref[...].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _grouped_scores(data, grp_qvecs, grp_block, interpret: bool):
+    """Score all groups: (g_total, G, BLOCK_ROWS).
+
+    grp_qvecs: (g_total, G, d_pad) query vectors per group;
+    grp_block: (g_total,) int32 block numbers into `data`.
+    """
+    g_total, G, d_pad = grp_qvecs.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g_total,),
+        in_specs=[
+            pl.BlockSpec((1, G, d_pad), lambda i, blk: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS, d_pad), lambda i, blk: (blk[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, BLOCK_ROWS), lambda i, blk: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _grouped_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g_total, G, BLOCK_ROWS), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(grp_block, grp_qvecs, data)
+
+
+def _expand_events(layout_starts, layout_counts, probe_ids, probe_valid,
+                   cap, max_blocks: int):
+    """(query, probe) -> padded block events, block-sorted.
+
+    Returns sorted (keys, qidx, cnt, valid) each (t_pad,), plus the
+    argsort order (t_pad,) for mapping back, with t_pad = nq*P*maxB.
+    """
+    nq, n_probes = probe_ids.shape
+    safe = jnp.clip(probe_ids, 0, layout_starts.shape[0] - 1)
+    counts = jnp.where(
+        probe_valid, jnp.minimum(layout_counts[safe], cap), 0
+    ).astype(jnp.int32)
+    base_block = (layout_starts[safe] // BLOCK_ROWS).astype(jnp.int32)
+
+    e = nq * n_probes
+    j = jnp.arange(max_blocks, dtype=jnp.int32)
+    nb = -(-counts.reshape(e, 1) // BLOCK_ROWS)
+    ev_valid = j[None, :] < nb  # (E, maxB)
+    ev_block = base_block.reshape(e, 1) + j
+    ev_cnt = jnp.clip(counts.reshape(e, 1) - j * BLOCK_ROWS, 0, BLOCK_ROWS)
+    ev_q = jnp.broadcast_to(
+        jnp.repeat(jnp.arange(nq, dtype=jnp.int32), n_probes)[:, None],
+        (e, max_blocks),
+    )
+
+    big = jnp.int32(2**30)
+    key = jnp.where(ev_valid, ev_block, big).reshape(-1)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    return (key[order], ev_q.reshape(-1)[order], ev_cnt.reshape(-1)[order],
+            order, ev_block, ev_valid, counts)
+
+
+@partial(jax.jit, static_argnames=("max_blocks",))
+def count_groups(layout_starts, layout_counts, probe_ids, probe_valid,
+                 cap, max_blocks: int):
+    """Number of (block, <=G queries) groups for this probe batch."""
+    sk, _, _, _, _, _, _ = _expand_events(
+        layout_starts, layout_counts, probe_ids, probe_valid, cap, max_blocks
+    )
+    t_pad = sk.shape[0]
+    svalid = sk < 2**30
+    unique = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    )
+    pos = jnp.arange(t_pad, dtype=jnp.int32)
+    first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(unique, pos, -1)
+    )
+    r = pos - first
+    new_group = (unique | (r % GROUP_Q == 0)) & svalid
+    return jnp.sum(new_group, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("g_total", "max_blocks"))
+def _grouped_prep(layout_starts, layout_counts, probe_ids, probe_valid,
+                  queries_ext, cap, g_total: int, max_blocks: int):
+    """Build the group tables + the event->(group row) map."""
+    sk, sq, sc, order, ev_block, ev_valid, counts = _expand_events(
+        layout_starts, layout_counts, probe_ids, probe_valid, cap, max_blocks
+    )
+    t_pad = sk.shape[0]
+    svalid = sk < 2**30
+    unique = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    pos = jnp.arange(t_pad, dtype=jnp.int32)
+    first = jax.lax.associative_scan(jnp.maximum, jnp.where(unique, pos, -1))
+    r = pos - first
+    new_group = (unique | (r % GROUP_Q == 0)) & svalid
+    g = jnp.cumsum(new_group, dtype=jnp.int32) - 1  # (t_pad,)
+    slot = (r % GROUP_Q).astype(jnp.int32)
+
+    g_safe = jnp.where(svalid, g, g_total)  # drop invalid
+    grp_block = (
+        jnp.zeros((g_total,), jnp.int32).at[g_safe].set(sk, mode="drop")
+    )
+    grp_qidx = (
+        jnp.zeros((g_total, GROUP_Q), jnp.int32)
+        .at[g_safe, slot].set(sq, mode="drop")
+    )
+    grp_cnt = (
+        jnp.zeros((g_total, GROUP_Q), jnp.int32)
+        .at[g_safe, slot].set(sc, mode="drop")
+    )
+    grp_qvecs = queries_ext[grp_qidx]  # (g_total, G, d_pad)
+
+    # event row (into the (g_total*G, BLOCK_ROWS) score matrix), in
+    # ORIGINAL (query-major padded) event order
+    row_sorted = g * GROUP_Q + slot
+    ev_row = (
+        jnp.zeros((t_pad,), jnp.int32).at[order].set(row_sorted)
+    )
+    return grp_block, grp_qvecs, grp_cnt, ev_row, ev_block, ev_valid, counts
+
+
+def total_block_events(layout: ServingLayout, probe_ids, probe_valid,
+                       cap: int | None = None) -> int:
+    """Host helper: number of compact block events for a probe batch
+    (used to pick the static stream length)."""
+    safe = jnp.clip(probe_ids, 0, layout.starts.shape[0] - 1)
+    cap = cap or layout.cap
+    counts = jnp.where(
+        probe_valid, jnp.minimum(layout.counts[safe], cap), 0
+    )
+    return int(jnp.sum(-(-counts // BLOCK_ROWS)))
 
 
 def bucket_scores(layout: ServingLayout, queries_ext: Array,

@@ -82,6 +82,22 @@ def test_eval_sweep_monotone_candidates():
     assert results[0]["n_probes"] == 1
 
 
+def test_eval_sweep_engines_agree():
+    """The Pallas-engine sweep must reproduce the XLA-engine sweep."""
+    data = SyntheticDataset(n_train=512, n_test=32, dim=8, metric="cosine",
+                            k_ground_truth=10, seed=3).load()
+    hashing = MultivariateBernoulli(MLPEncoder(8, (16,)), 4)
+    params = hashing.init(jax.random.PRNGKey(0))
+    args = (hashing, params, jnp.asarray(data.training),
+            jnp.asarray(data.testing), np.asarray(data.ground_truth))
+    r_xla = run_sweep(*args, k=5, max_probes=5, metric="cosine", engine="xla")
+    r_pls = run_sweep(*args, k=5, max_probes=5, metric="cosine",
+                      engine="pallas")
+    for a, b in zip(r_xla, r_pls):
+        assert a["avg_n_candidates"] == b["avg_n_candidates"]
+        assert abs(a["recall"] - b["recall"]) < 0.02
+
+
 def test_eval_cli_end_to_end(tmp_path, monkeypatch, capsys):
     """Full artifact path: save a model, point eval at synthetic data."""
     from nlsh_tpu.utils.checkpoint import save_model

@@ -53,6 +53,94 @@ def test_serving_matches_xla_path(metric):
         assert (np.diff(v) <= 1e-5).all()
 
 
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_compact_matches_xla_path(metric):
+    from nlsh_tpu.index.serving import serving_query_compact
+
+    rng = np.random.default_rng(4)
+    n, d, nb, nq, P, k = 600, 24, 16, 33, 5, 7
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    bucket_ids = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
+    probe_raw = np.sort(rng.integers(0, nb, (nq, P)).astype(np.int32), axis=1)
+    probe_valid = np.concatenate(
+        [np.ones((nq, 1), bool), probe_raw[:, 1:] != probe_raw[:, :-1]], axis=1
+    )
+    probe_ids = jnp.asarray(probe_raw)
+    probe_valid = jnp.asarray(probe_valid)
+
+    table = build_bucket_table(bucket_ids, nb)
+    x_top, _, x_cand = query_bucket_table(
+        table, corpus, queries, probe_ids, probe_valid, k=k,
+        probe_budget=int(table.max_count()), metric=metric, query_chunk=8,
+    )
+    layout = serving_layout(table, corpus, metric=metric)
+    c_top, c_scores, c_cand = serving_query_compact(
+        layout, queries, probe_ids, probe_valid, table.counts, k=k,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(c_cand), np.asarray(x_cand))
+    assert (np.asarray(x_top) == np.asarray(c_top)).mean() > 0.98
+    s = np.asarray(c_scores)
+    for i in range(nq):
+        v = s[i][np.isfinite(s[i])]
+        assert (np.diff(v) <= 1e-5).all()
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_grouped_matches_xla_path(metric):
+    from nlsh_tpu.index.serving import serving_query_grouped
+
+    rng = np.random.default_rng(6)
+    n, d, nb, nq, P, k = 600, 24, 16, 33, 5, 7
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    bucket_ids = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
+    probe_raw = np.sort(rng.integers(0, nb, (nq, P)).astype(np.int32), axis=1)
+    probe_valid = np.concatenate(
+        [np.ones((nq, 1), bool), probe_raw[:, 1:] != probe_raw[:, :-1]], axis=1
+    )
+    probe_ids = jnp.asarray(probe_raw)
+    probe_valid = jnp.asarray(probe_valid)
+
+    table = build_bucket_table(bucket_ids, nb)
+    x_top, _, x_cand = query_bucket_table(
+        table, corpus, queries, probe_ids, probe_valid, k=k,
+        probe_budget=int(table.max_count()), metric=metric, query_chunk=8,
+    )
+    layout = serving_layout(table, corpus, metric=metric)
+    g_top, g_scores, g_cand = serving_query_grouped(
+        layout, queries, probe_ids, probe_valid, table.counts, k=k,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(g_cand), np.asarray(x_cand))
+    assert (np.asarray(x_top) == np.asarray(g_top)).mean() > 0.98
+    s = np.asarray(g_scores)
+    for i in range(nq):
+        v = s[i][np.isfinite(s[i])]
+        assert (np.diff(v) <= 1e-5).all()
+
+
+def test_compact_chunked_queries():
+    from nlsh_tpu.index.serving import serving_query, serving_query_compact
+
+    rng = np.random.default_rng(5)
+    corpus = jnp.asarray(rng.normal(size=(300, 8)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(25, 8)).astype(np.float32))
+    bucket_ids = jnp.asarray(rng.integers(0, 8, 300).astype(np.int32))
+    table = build_bucket_table(bucket_ids, 8)
+    layout = serving_layout(table, corpus, metric="cosine")
+    pid = jnp.asarray(np.sort(rng.integers(0, 8, (25, 3)), axis=1).astype(np.int32))
+    pv = jnp.ones((25, 3), bool)
+    full_top, _, full_cand = serving_query(
+        layout, queries, pid, pv, table.counts, k=4, interpret=True)
+    c_top, _, c_cand = serving_query_compact(
+        layout, queries, pid, pv, table.counts, k=4, interpret=True,
+        query_chunk=7)
+    np.testing.assert_array_equal(np.asarray(c_cand), np.asarray(full_cand))
+    assert (np.asarray(c_top) == np.asarray(full_top)).mean() > 0.98
+
+
 def test_serving_cap_truncation():
     """cap smaller than the biggest bucket truncates candidates but keeps
     full occupancy in n_candidates."""
