@@ -79,29 +79,13 @@ class ServingLayout(NamedTuple):
         return cls(*children, *aux)
 
 
-def serving_layout(table, corpus: Array, metric: str = "cosine",
-                   cap: int | None = None,
-                   dtype=jnp.float32) -> ServingLayout:
-    """Build the serving layout from a CSR bucket table.
-
-    ``cap`` is the per-probe DMA block size: buckets larger than ``cap``
-    are truncated at query time (the recall/bandwidth knob); default is
-    the max bucket size rounded up to the f32 sublane multiple (exact).
-
-    ``dtype=jnp.bfloat16`` halves the streamed bytes (≈2x QPS) at the
-    cost of bf16 rerank precision — rank flips only among candidates
-    whose distances differ below bf16 resolution.
-    """
+def layout_arrays(row_ids: Array, starts: Array, counts: Array,
+                  corpus: Array, cap: int, n_aligned: int,
+                  metric: str, dtype=jnp.float32):
+    """Traceable layout-construction core (also used per-shard inside
+    ``shard_map``): returns ``(data, row_map, aligned_starts)`` with the
+    static shapes ``(n_aligned, d_pad)`` / ``(n_aligned,)``."""
     n, d = corpus.shape
-    if cap is None:
-        cap = int(table.max_count())
-    # cap is a whole number of BLOCK_ROWS-row blocks so both the
-    # fixed-cap kernel (block index = start / cap) and the compact
-    # kernel (block index = start / BLOCK_ROWS) see exact block indices.
-    cap = max(_round_up(cap, BLOCK_ROWS), BLOCK_ROWS)
-    # Buckets are aligned to whole cap-sized blocks so the auto-pipelined
-    # kernel can fetch bucket blocks through BlockSpec index maps;
-    # costs <= cap-1 pad rows per bucket.
     align = cap
 
     if metric == "cosine":
@@ -119,29 +103,71 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
     # Aligned bucket offsets: each bucket block rounded up to `align`
     # rows so every DMA start is provably tile-aligned (≤ align-1 pad
     # rows per bucket; padding rows map to -1 and score -inf via counts).
-    counts = table.counts
     aligned_sizes = ((counts + align - 1) // align) * align
     aligned_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(aligned_sizes, dtype=jnp.int32)[:-1]]
     )
-    n_aligned = int(jnp.sum(aligned_sizes)) + cap  # + cap: clamp slack
 
     # aligned position of each bucket-sorted row
     i = jnp.arange(n, dtype=jnp.int32)
     bucket_of = (
-        jnp.searchsorted(table.starts, i, side="right").astype(jnp.int32) - 1
+        jnp.searchsorted(starts, i, side="right").astype(jnp.int32) - 1
     )
-    aligned_pos = aligned_starts[bucket_of] + (i - table.starts[bucket_of])
+    aligned_pos = aligned_starts[bucket_of] + (i - starts[bucket_of])
+    # rows past the real count (shard padding sorted to the tail) drop
+    aligned_pos = jnp.where(
+        i < jnp.sum(counts), aligned_pos, jnp.int32(n_aligned)
+    )
 
-    sorted_ext = jnp.take(ext, table.row_ids, axis=0)
+    sorted_ext = jnp.take(ext, row_ids, axis=0)
     data = jnp.zeros((n_aligned, d_pad), dtype)
-    data = data.at[aligned_pos, :d_ext].set(sorted_ext.astype(dtype))
+    data = data.at[aligned_pos, :d_ext].set(
+        sorted_ext.astype(dtype), mode="drop"
+    )
     row_map = jnp.full((n_aligned,), -1, jnp.int32)
-    row_map = row_map.at[aligned_pos].set(table.row_ids)
+    row_map = row_map.at[aligned_pos].set(row_ids, mode="drop")
+    return data, row_map, aligned_starts
+
+
+def round_cap(cap: int) -> int:
+    """cap is a whole number of BLOCK_ROWS-row blocks so both the
+    fixed-cap kernel (block index = start / cap) and the compact kernel
+    (block index = start / BLOCK_ROWS) see exact block indices."""
+    return max(_round_up(cap, BLOCK_ROWS), BLOCK_ROWS)
+
+
+def aligned_rows(counts, cap: int) -> int:
+    """Static row count of a layout for given bucket counts."""
+    aligned_sizes = ((np.asarray(counts) + cap - 1) // cap) * cap
+    return int(aligned_sizes.sum()) + cap  # + cap: clamp slack
+
+
+def serving_layout(table, corpus: Array, metric: str = "cosine",
+                   cap: int | None = None,
+                   dtype=jnp.float32) -> ServingLayout:
+    """Build the serving layout from a CSR bucket table.
+
+    ``cap`` is the per-probe DMA block size: buckets larger than ``cap``
+    are truncated at query time (the recall/bandwidth knob); default is
+    the max bucket size rounded up to a whole block (exact).
+
+    ``dtype=jnp.bfloat16`` halves the streamed bytes at the cost of
+    bf16 rerank precision — rank flips only among candidates whose
+    distances differ below bf16 resolution.
+    """
+    if cap is None:
+        cap = int(table.max_count())
+    cap = round_cap(cap)
+    n_aligned = aligned_rows(table.counts, cap)
+    data, row_map, aligned_starts = layout_arrays(
+        table.row_ids, table.starts, table.counts, corpus,
+        cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
+    )
     return ServingLayout(
         data=data, row_map=row_map, starts=aligned_starts,
-        counts=counts, cap=cap, d_pad=d_pad, align=align, metric=metric,
+        counts=table.counts, cap=cap, d_pad=data.shape[1], align=cap,
+        metric=metric,
     )
 
 

@@ -45,12 +45,17 @@ class ShardedIndexer:
     """
 
     def __init__(self, hashing, params, corpus, mesh: Mesh,
-                 metric: str = "cosine", probe_budget: int | None = None):
+                 metric: str = "cosine", probe_budget: int | None = None,
+                 engine: str = "auto"):
+        if engine not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.hashing = hashing
         self.params = params
         self.mesh = mesh
         self.metric = metric
+        self.engine = engine
         self._query_cache: dict = {}
+        self._layouts = None
         (self.axis,) = mesh.axis_names
         n_dev = mesh.devices.size
 
@@ -105,6 +110,87 @@ class ShardedIndexer:
         counts = np.asarray(self.counts).reshape(-1)
         occ = counts[counts > 0]
         return float(occ.std()) if occ.size else 0.0
+
+    # -- Pallas serving layouts (one per shard, shared static shapes) -------
+    def _build_layouts(self):
+        """Per-shard bucket-contiguous serving layouts, built inside
+        shard_map with shard-uniform static shapes (cap from the global
+        max bucket, rows padded to the largest shard's aligned size)."""
+        if self._layouts is not None:
+            return self._layouts
+        from nlsh_tpu.ops.pallas.query_kernel import (
+            aligned_rows, layout_arrays, round_cap,
+        )
+
+        cap = round_cap(int(jnp.max(self.counts)))
+        counts_np = np.asarray(self.counts)  # (D, n_buckets)
+        n_aligned = max(aligned_rows(c, cap) for c in counts_np)
+        axis, metric = self.axis, self.metric
+
+        @jax.jit
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis, None), P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None, None), P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+        def build(row_ids, starts, counts, corpus_local):
+            data, row_map, astarts = layout_arrays(
+                row_ids, starts[0], counts[0], corpus_local,
+                cap=cap, n_aligned=n_aligned, metric=metric,
+            )
+            return data[None], row_map[None], astarts[None]
+
+        data, row_map, astarts = build(
+            self.row_ids, self.starts, self.counts, self.corpus
+        )
+        self._layouts = (data, row_map, astarts, cap)
+        return self._layouts
+
+    def _serving_query_fn(self, k: int):
+        cache_key = ("serving", k)
+        if cache_key in self._query_cache:
+            return self._query_cache[cache_key]
+        from nlsh_tpu.index.serving import serving_query
+        from nlsh_tpu.ops.pallas.query_kernel import ServingLayout
+
+        data, row_map, astarts, cap = self._build_layouts()
+        d_pad = data.shape[-1]
+        axis, metric, n_local = self.axis, self.metric, self.n_local
+
+        @jax.jit
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
+                      P(axis, None), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        def q(data, row_map, astarts, counts, qs, pids, pvalid):
+            shard = jax.lax.axis_index(axis)
+            layout = ServingLayout(
+                data=data[0], row_map=row_map[0], starts=astarts[0],
+                counts=counts[0], cap=cap, d_pad=d_pad, align=cap,
+                metric=metric,
+            )
+            ids, scores, ncand = serving_query(
+                layout, qs, pids, pvalid, counts[0], k=k
+            )
+            gids = jnp.where(ids >= 0, ids + shard * n_local, -1)
+            all_s = jax.lax.all_gather(scores, axis)  # (D, nq, k)
+            all_i = jax.lax.all_gather(gids, axis)
+            nq = qs.shape[0]
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(nq, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(nq, -1)
+            top, arg = jax.lax.top_k(all_s, k)  # higher score = nearer
+            merged_i = jnp.take_along_axis(all_i, arg, axis=1)
+            merged_i = jnp.where(jnp.isfinite(top), merged_i, -1)
+            return merged_i, top, jax.lax.psum(ncand, axis)
+
+        self._query_cache[cache_key] = q
+        return q
 
     # -- query --------------------------------------------------------------
     def _query_fn(self, k: int, query_chunk: int):
@@ -161,6 +247,19 @@ class ShardedIndexer:
         probe_ids, probe_valid = self.hashing.hash(
             self.params, queries, n_probes=hash_times, key=key
         )
+        engine = self.engine
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if engine == "pallas" and self.metric in (
+            "cosine", "euclidean", "sq_euclidean"
+        ):
+            data, row_map, astarts, _ = self._build_layouts()
+            q = self._serving_query_fn(k)
+            ids, _, ncand = q(
+                data, row_map, astarts, self.counts,
+                queries, probe_ids, probe_valid,
+            )
+            return np.asarray(ids), np.asarray(ncand)
         if query_chunk is None:
             query_chunk = default_query_chunk(
                 hash_times, self.probe_budget, queries.shape[1]

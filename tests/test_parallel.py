@@ -96,6 +96,26 @@ def test_sharded_index_matches_single_chip(data, n_shards):
     assert same > 0.99
 
 
+def test_sharded_pallas_serving_matches_xla(data):
+    """The per-shard Pallas serving path (interpret mode on CPU) must
+    reproduce the sharded XLA path exactly."""
+    hashing = _hashing()
+    params = hashing.init(jax.random.PRNGKey(0))
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(4, axis="shard")
+
+    sx = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                        engine="xla")
+    x_top, x_cand = sx.query(queries, k=5, hash_times=4, key=key)
+    sp = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                        engine="pallas")
+    p_top, p_cand = sp.query(queries, k=5, hash_times=4, key=key)
+    np.testing.assert_array_equal(p_cand, x_cand)
+    assert (np.sort(p_top, 1) == np.sort(x_top, 1)).mean() > 0.99
+
+
 def test_sharded_index_nondivisible_corpus():
     """Corpus size not divisible by shard count: padding rows must never
     be returned."""
