@@ -95,7 +95,8 @@ def main():
     data = _BenchData(subset, queries_np[:256], gt[:256], sub_knn, "cosine")
     enc = get_encoder("siren", DIM, [256, 256])
     hashing = get_hashing("MultivariateBernoulli", enc, HASH_SIZE)
-    trainer = TripletTrainer(hashing, data, "/tmp", margin=0.5, positive_k=20)
+    trainer = TripletTrainer(hashing, data, "/tmp", margin=0.5, positive_k=20,
+                            balance_lambda=3.0)
     t0 = time.perf_counter()
     state = trainer.fit(K=K, batch_size=2048, learning_rate=1e-3,
                         epochs=100, test_every_updates=100_000,
@@ -143,7 +144,33 @@ def main():
             "query_size": float(np.mean(n_cand)),
         })
 
-    exact_recall = sweep[-1]["recall"]
+    # The bucket-grouped engine is the fastest at steady state but costs
+    # one long remote compile; attempt it only while the wall-clock
+    # budget allows (the driver kills long benches).
+    if time.perf_counter() - t_start < 300:
+        try:
+            indexer.engine = "pallas-grouped"
+            indexer.probe_budget = int(caps[0])
+            indexer._layout = None
+            top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
+                                        key=qkey)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                top, n_cand = indexer.query(queries, k=K,
+                                            hash_times=HASH_TIMES, key=qkey)
+                times.append(time.perf_counter() - t0)
+            sweep.append({
+                "cap": int(indexer.layout.cap),
+                "engine": "pallas-grouped",
+                "qps": N_QUERIES / min(times),
+                "recall": float(calculate_recall(gt, top, np.mean)),
+                "query_size": float(np.mean(n_cand)),
+            })
+        except Exception as e:  # never lose the bench line to the fast path
+            print(f"grouped engine skipped: {e!r}", flush=True)
+
+    exact_recall = max(s["recall"] for s in sweep)
     eligible = [s for s in sweep if s["recall"] >= exact_recall - 0.01]
     best = max(eligible, key=lambda s: s["qps"])
 

@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""BASELINE.json experiment configs, runnable end-to-end.
+
+The five north-star configurations:
+
+1. glove-25-shape 100k subset — single 2-layer MLP hashing, 256 buckets
+2. sift-128-shape 1M — euclidean rerank, larger table
+3. glove-100-shape 1.18M — trained hashing + multi-probe (== bench.py)
+4. glove-100-shape, L=8 multi-table ensemble, jointly trained
+5. deep-image-96-shape 10M — bucket tables sharded across the mesh
+
+Real ann-benchmarks files are used when the ``NLSH_PROCESSED_*`` env
+vars point at them; otherwise each config runs on a synthetic clustered
+stand-in with the same shape (see ``_data``).  Every config prints one
+JSON line: ``{config, recall_at_10, query_size, qps, build_s, ...}``.
+
+Usage:
+    python benchmarks/configs.py 1          # run config 1
+    python benchmarks/configs.py all        # run everything that fits
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _data(data_id, n_train, n_test, dim, metric, k=10, seed=0):
+    """Real dataset if configured, else a synthetic stand-in."""
+    from nlsh_tpu.data import SyntheticDataset, get_data_by_id
+    from nlsh_tpu.utils.env import get_env
+
+    env_keys = {
+        "glove_25": "NLSH_PROCESSED_GLOVE_25_PATH",
+        "glove_100": "NLSH_PROCESSED_GLOVE_100_PATH",
+        "sift": "NLSH_PROCESSED_SIFT_PATH",
+    }
+    if data_id in env_keys and get_env(env_keys[data_id]):
+        _log(f"using real dataset {data_id}")
+        return get_data_by_id(data_id).load()
+    _log(f"synthetic stand-in for {data_id}: {n_train}x{dim} {metric}")
+    return SyntheticDataset(
+        n_train=n_train, n_test=n_test, dim=dim,
+        n_clusters=max(64, n_train // 512), metric=metric,
+        k_ground_truth=max(k, 20), seed=seed,
+        compute_self_knn=n_train <= 200_000,
+    ).load()
+
+
+def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None):
+    from nlsh_tpu.train import MultiTableTrainer, TripletTrainer
+
+    tr = TripletTrainer(hashing, data, "/tmp/nlsh_bench_models",
+                        margin=0.5, positive_k=20)
+    if n_tables:
+        tr = MultiTableTrainer(tr, n_tables)
+    t0 = time.perf_counter()
+    state = tr.fit(K=10, batch_size=batch_size, learning_rate=lr,
+                   epochs=1000, test_every_updates=10**9, max_steps=steps,
+                   hash_times=10)
+    return state, time.perf_counter() - t0
+
+
+def _measure(query_fn, queries, gt, n_warm=1, n_runs=3):
+    from nlsh_tpu.utils.metrics import calculate_recall
+
+    for _ in range(n_warm):
+        top, n_cand = query_fn(queries)
+    times = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        top, n_cand = query_fn(queries)
+        times.append(time.perf_counter() - t0)
+    return {
+        "recall_at_10": round(float(calculate_recall(gt[:, :10], top, np.mean)), 4),
+        "query_size": round(float(np.mean(n_cand)), 1),
+        "qps": round(queries.shape[0] / min(times), 1),
+    }
+
+
+def config_1():
+    """glove-25 100k subset, MLP trunk, 8-bit (256-bucket) hashing."""
+    import jax, jax.numpy as jnp
+    from nlsh_tpu.index import Indexer
+    from nlsh_tpu.models import get_encoder, get_hashing
+
+    data = _data("glove_25", 100_000, 2000, 25, "cosine")
+    hashing = get_hashing(
+        "MultivariateBernoulli", get_encoder("mlp", data.dim, [256, 256]), 8
+    )
+    state, train_s = _train(hashing, data, steps=400)
+    t0 = time.perf_counter()
+    idx = Indexer(hashing, state.params["hashing"],
+                  jnp.asarray(data.training), metric=data.metric)
+    build_s = time.perf_counter() - t0
+    m = _measure(
+        lambda q: idx.query(q, k=10, hash_times=10, key=jax.random.PRNGKey(1)),
+        jnp.asarray(data.testing), np.asarray(data.ground_truth),
+    )
+    return {"config": "1_glove25_100k", "train_s": round(train_s, 1),
+            "build_s": round(build_s, 2), **m}
+
+
+def config_2():
+    """sift-128 1M, euclidean rerank."""
+    import jax, jax.numpy as jnp
+    from nlsh_tpu.index import Indexer
+    from nlsh_tpu.models import get_encoder, get_hashing
+    from nlsh_tpu.ops.knn import self_knn
+
+    data = _data("sift", 1_000_000, 5000, 128, "euclidean")
+    # train on a subset (self-kNN of the full 1M is the offline
+    # precompute path; keep this config bounded)
+    rng = np.random.default_rng(0)
+    sub = rng.choice(data.training.shape[0], 131_072, replace=False)
+    subset = data.training[sub]
+    sub_knn = np.asarray(self_knn(jnp.asarray(subset), k=20,
+                                  metric="euclidean"))
+
+    class _Sub:
+        training = subset
+        testing = data.testing[:256]
+        ground_truth = data.ground_truth[:256]
+        training_self_knn = sub_knn
+        metric = "euclidean"
+        prepared = True
+        dim = data.dim
+
+        def load(self):
+            return self
+
+    hashing = get_hashing(
+        "MultivariateBernoulli", get_encoder("siren", data.dim, [256, 256]), 12
+    )
+    state, train_s = _train(hashing, _Sub(), steps=400, batch_size=2048)
+    t0 = time.perf_counter()
+    idx = Indexer(hashing, state.params["hashing"],
+                  jnp.asarray(data.training), metric="euclidean")
+    build_s = time.perf_counter() - t0
+    m = _measure(
+        lambda q: idx.query(q, k=10, hash_times=10, key=jax.random.PRNGKey(1)),
+        jnp.asarray(data.testing), np.asarray(data.ground_truth),
+    )
+    return {"config": "2_sift_1M", "train_s": round(train_s, 1),
+            "build_s": round(build_s, 2), **m}
+
+
+def config_3():
+    """glove-100 1.18M end-to-end — delegated to bench.py."""
+    import bench
+
+    r = bench.main()
+    r["config"] = "3_glove100_1.18M"
+    return r
+
+
+def config_4():
+    """glove-100-shape, L=8 jointly-trained multi-table ensemble."""
+    import jax, jax.numpy as jnp
+    from nlsh_tpu.models import get_encoder, get_hashing
+    from nlsh_tpu.parallel import MultiTableIndexer
+
+    data = _data("glove_100_mt", 200_000, 2000, 100, "cosine")
+    hashing = get_hashing(
+        "MultivariateBernoulli", get_encoder("siren", data.dim, [128, 128]), 10
+    )
+    state, train_s = _train(hashing, data, steps=300, batch_size=1024,
+                            n_tables=8)
+    t0 = time.perf_counter()
+    idx = MultiTableIndexer(hashing, state.params["hashing"],
+                            jnp.asarray(data.training), metric="cosine")
+    build_s = time.perf_counter() - t0
+    m = _measure(
+        lambda q: idx.query(q, k=10, hash_times=1),
+        jnp.asarray(data.testing), np.asarray(data.ground_truth),
+    )
+    return {"config": "4_multitable_L8", "train_s": round(train_s, 1),
+            "build_s": round(build_s, 2), **m}
+
+
+def config_5(n_corpus=10_000_000):
+    """deep-image-96-shape 10M, bucket tables sharded across the mesh."""
+    import jax, jax.numpy as jnp
+    from nlsh_tpu.models import get_encoder, get_hashing
+    from nlsh_tpu.ops.knn import knn
+    from nlsh_tpu.parallel import ShardedIndexer, make_mesh
+
+    dim, n_test = 96, 2000
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(8192, dim)).astype(np.float32)
+    _log(f"generating {n_corpus} x {dim} corpus")
+    assign = rng.integers(0, 8192, size=n_corpus + n_test)
+    pts = centers[assign] + 0.3 * rng.normal(
+        size=(n_corpus + n_test, dim)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    corpus, queries = jnp.asarray(pts[:n_corpus]), jnp.asarray(pts[n_corpus:])
+
+    _log("exact GT")
+    _, gt = knn(queries, corpus, k=10, metric="cosine",
+                query_tile=1024, corpus_chunk=262_144)
+    gt = np.asarray(gt)
+
+    hashing = get_hashing(
+        "MultivariateBernoulli", get_encoder("siren", dim, [256, 256]), 14
+    )
+    params = hashing.init(jax.random.PRNGKey(0))
+
+    mesh = make_mesh(axis="shard")
+    _log(f"sharding over {mesh.devices.size} device(s)")
+    t0 = time.perf_counter()
+    idx = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine")
+    build_s = time.perf_counter() - t0
+    m = _measure(
+        lambda q: idx.query(q, k=10, hash_times=10, key=jax.random.PRNGKey(1)),
+        queries, gt,
+    )
+    return {"config": "5_deepimage96_10M_sharded",
+            "n_shards": int(mesh.devices.size),
+            "build_s": round(build_s, 2), **m}
+
+
+CONFIGS = {"1": config_1, "2": config_2, "3": config_3, "4": config_4,
+           "5": config_5}
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "1"
+    keys = list(CONFIGS) if which == "all" else [which]
+    for key in keys:
+        result = CONFIGS[key]()
+        print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

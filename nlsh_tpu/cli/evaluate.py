@@ -41,6 +41,8 @@ def nlsh_eval_argparse() -> argparse.ArgumentParser:
     p.add_argument("--data_id", type=str, required=True)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--max_probes", type=int, default=100)
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "xla", "pallas"))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json_out", type=str, default=None,
                    help="also write the sweep as JSON lines")
@@ -146,6 +148,7 @@ def main(argv: list[str] | None = None):
         jnp.asarray(data.training), jnp.asarray(data.testing),
         np.asarray(data.ground_truth), args.k,
         max_probes=args.max_probes, metric=data.metric, seed=args.seed,
+        engine=args.engine,
     )
     for r in results:
         print(r["avg_n_candidates"], r["recall"])

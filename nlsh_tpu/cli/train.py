@@ -58,6 +58,8 @@ def nlsh_argparse() -> argparse.ArgumentParser:
     p.add_argument("-tnsm", "--triplet_negative_sampling_method", type=str,
                    default="random",
                    choices=("random", "nearest", "hard", "semi-hard"))
+    p.add_argument("--balance_lambda", type=float, default=0.0,
+                   help="bucket-balance regulariser weight (triplet)")
     p.add_argument("-spm", "--siamese_positive_margin", type=float, default=0.0)
     p.add_argument("-snm", "--siamese_negative_margin", type=float, default=0.1)
     p.add_argument("-spr", "--siamese_positive_rate", type=float, default=0.1)
@@ -157,6 +159,7 @@ def get_learner_from_args(args, hashing, data, logger, model_save_dir):
             lambda1=args.lambda1, margin=args.triplet_margin,
             positive_k=args.triplet_positive_k,
             negative_sampling_method=args.triplet_negative_sampling_method,
+            balance_lambda=args.balance_lambda,
         )
     if args.learner_type == "siamese":
         logger.meta(params={

@@ -281,6 +281,55 @@ CODE_DISTANCES = {
 }
 
 
+def bucket_balance_loss(
+    probs: Array, confidence_weight: float = 0.3, epsilon: float = 1e-12
+) -> Array:
+    """Bucket load-balancing regulariser for Bernoulli bit codes.
+
+    No reference counterpart — a TPU-era regulariser: skewed buckets are
+    the serving bottleneck (probe cost scales with the largest probed
+    bucket), so the trainer can penalise imbalance directly.  The
+    expected bucket distribution under the per-bit Bernoulli code is
+    computed exactly with one log-space matmul:
+
+      log P(bucket b | x) = sum_i [ b_i log p_i + (1-b_i) log(1-p_i) ]
+
+    Two terms (the MoE load-balancing shape): the batch-mean bucket
+    distribution should be uniform — KL(q_bar || U) — AND each sample's
+    own distribution should be confident — mean per-sample entropy —
+    otherwise the soft histogram flattens while hard assignments stay
+    collapsed (every bit hovering at 0.5 satisfies the first term
+    alone).
+
+    Args:
+      probs: ``(batch, bits)`` per-bit probabilities (bits <= 16).
+      confidence_weight: weight of the per-sample entropy term.
+    """
+    bits = probs.shape[-1]
+    if bits > 16:
+        raise ValueError(f"balance loss materialises 2^bits buckets; {bits} > 16")
+    n_buckets = 2 ** bits
+    shifts = jnp.arange(bits - 1, -1, -1, dtype=jnp.int32)
+    codes = (
+        (jnp.arange(n_buckets, dtype=jnp.int32)[:, None] >> shifts) & 1
+    ).astype(jnp.float32)  # (NB, bits)
+    # clamp away from saturation: 1/p gradients explode once the
+    # confidence term drives bits hard to 0/1
+    probs = jnp.clip(probs, 1e-6, 1.0 - 1e-6)
+    log_p = jnp.log(probs)
+    log_np = jnp.log(1.0 - probs)
+    log_bucket = (
+        jnp.dot(log_p, codes.T, preferred_element_type=jnp.float32)
+        + jnp.dot(log_np, (1.0 - codes).T, preferred_element_type=jnp.float32)
+    )  # (batch, NB)
+    p_bucket = jnp.exp(log_bucket)
+    q = jnp.mean(p_bucket, axis=0)  # expected histogram
+    kl_uniform = jnp.sum(q * jnp.log(q * n_buckets + epsilon))
+    # per-sample entropy, equals mean per-bit binary entropy * bits
+    sample_entropy = -jnp.mean(jnp.sum(p_bucket * log_bucket, axis=1))
+    return kl_uniform + confidence_weight * sample_entropy
+
+
 def get_code_distance(name: str):
     try:
         return CODE_DISTANCES[name]()

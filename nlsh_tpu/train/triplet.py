@@ -103,11 +103,15 @@ class TripletTrainer(Trainer):
         margin: float = 0.1,
         positive_k: int | None = None,
         negative_sampling_method: str = NSM_RANDOM,
+        balance_lambda: float = 0.0,
     ):
         super().__init__(hashing, data, model_save_dir, logger)
         self.lambda1 = lambda1  # inert, reference parity
         self.margin = margin
         self.positive_k = positive_k
+        # bucket-balance regulariser weight (no reference counterpart;
+        # skewed buckets bound serving throughput)
+        self.balance_lambda = balance_lambda
         if negative_sampling_method not in (
             NSM_RANDOM, NSM_NEAREST, NSM_HARD, NSM_SEMI_HARD,
         ):
@@ -143,9 +147,17 @@ class TripletTrainer(Trainer):
         p = self.hashing.predict(hashing_params, corpus[pos_idx])
         dist = self.hashing.code_distance
 
+        balance = 0.0
+        if self.balance_lambda > 0:
+            from nlsh_tpu.ops.code_distances import bucket_balance_loss
+
+            balance = self.balance_lambda * bucket_balance_loss(
+                self.hashing.probs(hashing_params, corpus[anchor_idx])
+            )
+
         if self.negative_sampling_method in (NSM_RANDOM, NSM_NEAREST):
             n_code = self.hashing.predict(hashing_params, corpus[batch["neg"]])
-            return triplet_loss(a, p, n_code, dist.rowwise, self.margin)
+            return triplet_loss(a, p, n_code, dist.rowwise, self.margin) + balance
 
         # Batch-mined negatives (hard / semi-hard).
         k = self._k(knn.shape[1])
@@ -172,4 +184,4 @@ class TripletTrainer(Trainer):
             neg_j = jnp.argmin(jnp.where(invalid, jnp.inf, pairwise_d), axis=1)
         n_code = a[neg_j]
         d_neg = dist.rowwise(a, n_code)
-        return jnp.mean(jnp.clip(d_pos - d_neg + self.margin, min=0))
+        return jnp.mean(jnp.clip(d_pos - d_neg + self.margin, min=0)) + balance
