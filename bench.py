@@ -96,7 +96,7 @@ def main():
     enc = get_encoder("siren", DIM, [256, 256])
     hashing = get_hashing("MultivariateBernoulli", enc, HASH_SIZE)
     trainer = TripletTrainer(hashing, data, "/tmp", margin=0.5, positive_k=20,
-                            balance_lambda=3.0)
+                            balance_lambda=1.5)
     t0 = time.perf_counter()
     state = trainer.fit(K=K, batch_size=2048, learning_rate=1e-3,
                         epochs=100, test_every_updates=100_000,
@@ -130,12 +130,12 @@ def main():
         indexer.probe_budget = int(cap)
         indexer._layout = None  # rebuild serving layout at this cap
         top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
-                                    key=qkey)  # warm/compile
+                                    key=qkey, probe_mode="flip")  # warm/compile
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            top, n_cand = indexer.query(queries, k=K,
-                                        hash_times=HASH_TIMES, key=qkey)
+            top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
+                                        key=qkey, probe_mode="flip")
             times.append(time.perf_counter() - t0)
         sweep.append({
             "cap": int(indexer.layout.cap),
@@ -153,12 +153,12 @@ def main():
             indexer.probe_budget = int(caps[0])
             indexer._layout = None
             top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
-                                        key=qkey)
+                                        key=qkey, probe_mode="flip")
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                top, n_cand = indexer.query(queries, k=K,
-                                            hash_times=HASH_TIMES, key=qkey)
+                top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
+                                            key=qkey, probe_mode="flip")
                 times.append(time.perf_counter() - t0)
             sweep.append({
                 "cap": int(indexer.layout.cap),

@@ -99,6 +99,7 @@ class Indexer:
         hash_times: int = 10,
         key: Array | None = None,
         query_chunk: int | None = None,
+        probe_mode: str = "sample",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Multi-probe query (reference ``Indexer.query``,
         ``indexer.py:56-96``; defaults k=10, hash_times=10 match).
@@ -108,7 +109,8 @@ class Indexer:
         if key is None:
             key = jax.random.PRNGKey(0)
         probe_ids, probe_valid = self.hashing.hash(
-            self.params, queries, n_probes=hash_times, key=key
+            self.params, queries, n_probes=hash_times, key=key,
+            probe_mode=probe_mode,
         )
         engine = self.engine
         if engine == "auto":

@@ -23,6 +23,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nlsh_tpu.models.encoders import _linear_apply, _linear_init
 from nlsh_tpu.ops import packing
@@ -83,28 +84,64 @@ class MultivariateBernoulli:
         return p / 2.0 + 0.5 if self.tanh_output else p
 
     def hash(
-        self, params: Params, x: Array, n_probes: int = 1, key: Array | None = None
+        self,
+        params: Params,
+        x: Array,
+        n_probes: int = 1,
+        key: Array | None = None,
+        probe_mode: str = "sample",
     ) -> tuple[Array, Array]:
         """Bucket ids for ``x``: ``(ids, valid)`` of shape ``(n, n_probes)``.
 
-        Probe 0 is the deterministic hard code; probes 1..n-1 are
-        Bernoulli samples (reference ``hashings.py:66-85``); ids are
-        sorted per row with duplicates masked out of ``valid``.
+        Probe 0 is the deterministic hard code; probes 1..n-1 come from
+
+        * ``probe_mode="sample"`` — Bernoulli samples of the code
+          distribution (reference ``hashings.py:66-85``), or
+        * ``probe_mode="flip"`` — deterministic best-first multi-probe:
+          enumerate flips of the least-confident bits (classic
+          multi-probe LSH; no reference counterpart).  Probes are
+          distinct by construction, needs no PRNG key, and typically
+          dominates sampling on the recall/candidates frontier.
+
+        ids are sorted per row with duplicates masked out of ``valid``.
         """
+        if n_probes < 1:
+            raise ValueError(f"`n_probes` should be a positive integer, got {n_probes}")
         p = self.probs(params, x)
+        if probe_mode == "flip" and n_probes > 1:
+            return self._hash_flip(p, n_probes)
         hard = (p > 0.5).astype(jnp.int32)[:, None, :]  # (n, 1, bits)
         if n_probes == 1:
             codes = hard
-        elif n_probes > 1:
+        else:
             if key is None:
-                raise ValueError("multi-probe hashing needs a PRNG `key`")
+                raise ValueError("multi-probe sampling needs a PRNG `key`")
             sampled = jax.random.bernoulli(
                 key, p[:, None, :], (x.shape[0], n_probes - 1, self.hash_size)
             ).astype(jnp.int32)
             codes = jnp.concatenate([hard, sampled], axis=1)
-        else:
-            raise ValueError(f"`n_probes` should be a positive integer, got {n_probes}")
         return packing.hash_codes(codes)
+
+    def _hash_flip(self, p: Array, n_probes: int) -> tuple[Array, Array]:
+        """Best-first probes: flip subsets of the ceil(log2(n_probes))
+        least-confident bits of the hard code, ordered by flip mask
+        (mask 0 = the hard code itself)."""
+        bits = self.hash_size
+        n_flip = max(int(np.ceil(np.log2(n_probes))), 1)
+        n_flip = min(n_flip, bits)
+        base = packing.pack_bits((p > 0.5).astype(jnp.int32))  # (n,)
+        conf = jnp.abs(p - 0.5)  # (n, bits)
+        # positions of the n_flip least-confident bits (bit i has weight
+        # 2^(bits-1-i))
+        _, flip_pos = jax.lax.top_k(-conf, n_flip)  # (n, n_flip)
+        weights = (1 << (bits - 1 - flip_pos)).astype(jnp.int32)  # (n, n_flip)
+        masks = jnp.arange(n_probes, dtype=jnp.int32)  # enumerate subsets
+        take = ((masks[None, :, None] >> jnp.arange(n_flip)) & 1).astype(
+            jnp.int32
+        )  # (1, n_probes, n_flip)
+        xor = jnp.sum(take * weights[:, None, :], axis=-1)  # (n, n_probes)
+        ids = jnp.bitwise_xor(base[:, None], xor)
+        return packing.dedupe_codes(ids)
 
     def hash_hard(self, params: Params, x: Array) -> Array:
         """Deterministic single bucket id per row: ``(n,)`` int32."""
@@ -157,8 +194,11 @@ class Categorical:
     probs = predict
 
     def hash(
-        self, params: Params, x: Array, n_probes: int = 1, key: Array | None = None
+        self, params: Params, x: Array, n_probes: int = 1,
+        key: Array | None = None, probe_mode: str = "sample",
     ) -> tuple[Array, Array]:
+        # top-n probing is already deterministic best-first; probe_mode
+        # is accepted for interface uniformity
         p = self.predict(params, x)
         _, ids = jax.lax.top_k(p, n_probes)  # (n, n_probes)
         ids = jnp.sort(ids.astype(jnp.int32), axis=-1)
@@ -247,7 +287,8 @@ class ProductQuantization:
         return self._pack_bands(codes)
 
     def hash(
-        self, params: Params, x: Array, n_probes: int = 1, key: Array | None = None
+        self, params: Params, x: Array, n_probes: int = 1,
+        key: Array | None = None, probe_mode: str = "sample",
     ) -> tuple[Array, Array]:
         p = self._band_probs(params, x)  # (n, M, B)
         hard = jnp.argmax(p, axis=-1)[:, None, :]  # (n, 1, M)

@@ -237,7 +237,7 @@ class ShardedIndexer:
         return q
 
     def query(self, queries, k: int = 10, hash_times: int = 10, key=None,
-              query_chunk: int | None = None):
+              query_chunk: int | None = None, probe_mode: str = "sample"):
         """Multi-probe query against all shards; returns
         ``(topk_ids (nq, k), n_candidates (nq,))`` as numpy (global row
         ids, merged across shards)."""
@@ -245,7 +245,8 @@ class ShardedIndexer:
             key = jax.random.PRNGKey(0)
         queries = jnp.asarray(queries)
         probe_ids, probe_valid = self.hashing.hash(
-            self.params, queries, n_probes=hash_times, key=key
+            self.params, queries, n_probes=hash_times, key=key,
+            probe_mode=probe_mode,
         )
         engine = self.engine
         if engine == "auto":

@@ -95,6 +95,50 @@ def test_mvb_requires_key_for_multiprobe(x):
         h.hash(params, x, n_probes=3)
 
 
+def test_mvb_flip_probe_mode(x):
+    h = MultivariateBernoulli(MLPEncoder(10, (32,)), hash_size=6)
+    params = h.init(jax.random.PRNGKey(2))
+    ids, valid = h.hash(params, x, n_probes=8, probe_mode="flip")
+    ids, valid = np.asarray(ids), np.asarray(valid)
+    assert valid.all()  # flips of distinct masks are distinct buckets
+    hard = np.asarray(h.hash_hard(params, x))
+    probs = np.asarray(h.probs(params, x))
+    for i in range(x.shape[0]):
+        row = set(ids[i].tolist())
+        assert hard[i] in row
+        # every probe differs from the hard code only on the 3 least
+        # confident bits (n_probes=8 -> 3 flip bits)
+        conf_order = np.argsort(np.abs(probs[i] - 0.5))[:3]
+        allowed = 0
+        for b in conf_order:
+            allowed |= 1 << (6 - 1 - b)
+        for v in row:
+            assert (v ^ hard[i]) & ~allowed == 0
+
+
+def test_flip_beats_sampling_on_recall():
+    """Deterministic best-first probing should match or beat Bernoulli
+    sampling at equal probe count."""
+    from nlsh_tpu.data import SyntheticDataset
+    from nlsh_tpu.index import Indexer
+    from nlsh_tpu.utils.metrics import calculate_recall
+
+    data = SyntheticDataset(n_train=4096, n_test=256, dim=16, n_clusters=64,
+                            metric="cosine", k_ground_truth=10, seed=0).load()
+    h = MultivariateBernoulli(MLPEncoder(16, (32,)), 7)
+    params = h.init(jax.random.PRNGKey(0))
+    idx = Indexer(h, params, jnp.asarray(data.training), metric="cosine")
+    gt = np.asarray(data.ground_truth)[:, :10]
+    t_s, c_s = idx.query(jnp.asarray(data.testing), k=10, hash_times=8,
+                         key=jax.random.PRNGKey(1), probe_mode="sample")
+    t_f, c_f = idx.query(jnp.asarray(data.testing), k=10, hash_times=8,
+                         probe_mode="flip")
+    r_s = calculate_recall(gt, t_s, np.mean)
+    r_f = calculate_recall(gt, t_f, np.mean)
+    # allow small noise, but flip shouldn't lose
+    assert r_f >= r_s - 0.02, (r_f, r_s)
+
+
 def test_categorical_hash(x):
     h = Categorical(MLPEncoder(10, (32,)), hash_size=7)
     assert h.n_buckets == 7
