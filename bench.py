@@ -29,7 +29,7 @@ DIM = 100
 N_QUERIES = 10_000
 K = 10
 HASH_SIZE = 12
-HASH_TIMES = 10
+HASH_TIMES = 16
 TRAIN_SUBSET = 131_072
 TRAIN_STEPS = 1000
 SEED = 0
@@ -119,6 +119,7 @@ def main():
     qkey = jax.random.PRNGKey(SEED + 1)
     mean_bucket = N_CORPUS / hashing.n_buckets
     caps = sorted({
+        1 << int(np.ceil(np.log2(1.2 * mean_bucket))),
         1 << int(np.ceil(np.log2(2 * mean_bucket))),
         max_bucket,
     })

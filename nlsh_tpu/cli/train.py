@@ -72,6 +72,11 @@ def nlsh_argparse() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--test_every_updates", type=int, default=300)
     p.add_argument("--hash_times", type=int, default=10)
+    p.add_argument("--probe_mode", default="sample",
+                   choices=("sample", "flip"),
+                   help="multi-probe strategy for eval queries: Bernoulli "
+                        "sampling (reference behaviour) or deterministic "
+                        "least-confident-bit flips")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--resume_from", type=str, default=None)
@@ -224,6 +229,7 @@ def main(argv: list[str] | None = None):
         test_every_updates=args.test_every_updates,
         epochs=args.epochs,
         hash_times=args.hash_times,
+        probe_mode=args.probe_mode,
         seed=args.seed,
         max_steps=args.max_steps,
         resume_from=args.resume_from,

@@ -689,9 +689,14 @@ def bucket_scores(layout: ServingLayout, queries_ext: Array,
     ).astype(jnp.int32)
     block_idx = starts // cap  # cap-aligned layout: starts are block-exact
 
-    # The query chunk lives whole in VMEM; cap chunk size at a few MB.
+    # The query chunk lives whole in VMEM (cap at a few MB) and the flat
+    # starts/counts prefetch arrays live in SMEM (1MB total) — bound the
+    # chunk by both.
     nq = queries_ext.shape[0]
-    chunk = max(1, (4 * 1024 * 1024) // (layout.d_pad * 4))
+    n_probes = probe_ids.shape[1]
+    vmem_chunk = (4 * 1024 * 1024) // (layout.d_pad * 4)
+    smem_chunk = (384 * 1024) // (2 * 4 * n_probes)  # 2 arrays x int32
+    chunk = max(1, min(vmem_chunk, smem_chunk))
 
     def run(qs, bi, cn):
         return _bucket_scores_auto(

@@ -149,6 +149,7 @@ class Trainer(abc.ABC):
         hash_times,
         step,
         eval_key,
+        probe_mode: str = "sample",
     ) -> tuple[float, float]:
         """Index rebuild + validation/train-probe query + logging
         (reference ``base.py:80-115``).  Returns (recall, query_size)."""
@@ -162,7 +163,8 @@ class Trainer(abc.ABC):
         self.logger.log("test/std_index_rows", indexer.occupancy_std(), step)
 
         t1 = time.perf_counter()
-        topk, n_cand = indexer.query(val_gpu, k=K, hash_times=hash_times, key=eval_key)
+        topk, n_cand = indexer.query(val_gpu, k=K, hash_times=hash_times,
+                                     key=eval_key, probe_mode=probe_mode)
         t2 = time.perf_counter()
         recall = calculate_recall(ground_truth, topk, np.mean)
         query_size = float(np.mean(n_cand))
@@ -172,7 +174,8 @@ class Trainer(abc.ABC):
 
         # Train-set overfit probe (reference base.py:110-115).
         topk_t, n_cand_t = indexer.query(
-            probe_train, k=K, hash_times=hash_times, key=eval_key
+            probe_train, k=K, hash_times=hash_times, key=eval_key,
+            probe_mode=probe_mode,
         )
         self.logger.log(
             "training/recall", calculate_recall(probe_gt, topk_t, np.mean), step
@@ -189,6 +192,7 @@ class Trainer(abc.ABC):
         test_every_updates: int = 1000,
         epochs: int = 100,
         hash_times: int = 10,
+        probe_mode: str = "sample",
         seed: int = 0,
         n_train_probe: int = 10000,
         max_steps: int | None = None,
@@ -283,7 +287,7 @@ class Trainer(abc.ABC):
                     recall, query_size = self._evaluate(
                         state.params, corpus, val_gpu, ground_truth,
                         probe_train, probe_gt, K, hash_times,
-                        int(state.step), eval_key,
+                        int(state.step), eval_key, probe_mode,
                     )
                     if recall > best_recall and query_size < best_query_size:
                         best_recall, best_query_size = recall, query_size

@@ -82,7 +82,8 @@ class MultiTableTrainer(Trainer):
 
     # -- ensemble evaluation + checkpointing --------------------------------
     def _evaluate(self, params, corpus, val_gpu, ground_truth, probe_train,
-                  probe_gt, K, hash_times, step, eval_key):
+                  probe_gt, K, hash_times, step, eval_key,
+                  probe_mode: str = "sample"):
         from nlsh_tpu.parallel.multitable import MultiTableIndexer
 
         indexer = MultiTableIndexer(
