@@ -58,6 +58,7 @@ class Indexer:
         metric: str = "cosine",
         probe_budget: int | None = None,
         engine: str = "auto",
+        serving_dtype=None,
     ):
         if engine not in ("auto", "xla", "pallas", "pallas-grouped"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -66,6 +67,9 @@ class Indexer:
         self.corpus = corpus
         self.metric = metric
         self.engine = engine
+        # bf16 serving layout halves streamed bytes; rank flips only
+        # among candidates whose distances differ below bf16 resolution
+        self.serving_dtype = serving_dtype or jnp.float32
         codes = hash_corpus(hashing, params, corpus)
         self.table = build_bucket_table(codes, hashing.n_buckets)
         if probe_budget is None:
@@ -81,7 +85,7 @@ class Indexer:
 
             self._layout = serving_layout(
                 self.table, self.corpus, metric=self.metric,
-                cap=self.probe_budget,
+                cap=self.probe_budget, dtype=self.serving_dtype,
             )
         return self._layout
 
