@@ -20,7 +20,11 @@ covered by tests; this file measures the serving path).
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# NLSH_EVENT_BLOCK tunes events/program in the serving kernel; the
+# default 8 compiles fastest and matches 16 on this workload
 
 import numpy as np
 
@@ -121,7 +125,6 @@ def main():
     caps = sorted({
         1 << int(np.ceil(np.log2(1.2 * mean_bucket))),
         1 << int(np.ceil(np.log2(2 * mean_bucket))),
-        max_bucket,
     })
     sweep = []
     for cap in caps:

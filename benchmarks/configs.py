@@ -161,13 +161,15 @@ def config_3():
     return r
 
 
-def config_4():
+def config_4(n_train=200_000):
     """glove-100-shape, L=8 jointly-trained multi-table ensemble."""
     import jax, jax.numpy as jnp
     from nlsh_tpu.models import get_encoder, get_hashing
     from nlsh_tpu.parallel import MultiTableIndexer
 
-    data = _data("glove_100_mt", 200_000, 2000, 100, "cosine")
+    import os
+    n_train = int(os.environ.get("NLSH_CONFIG4_N", n_train))
+    data = _data("glove_100_mt", n_train, 2000, 100, "cosine")
     hashing = get_hashing(
         "MultivariateBernoulli", get_encoder("siren", data.dim, [128, 128]), 10
     )
@@ -185,9 +187,16 @@ def config_4():
             "build_s": round(build_s, 2), **m}
 
 
-def config_5(n_corpus=10_000_000):
-    """deep-image-96-shape 10M, bucket tables sharded across the mesh."""
+def config_5(n_corpus=None):
+    """deep-image-96-shape 10M, bucket tables sharded across the mesh.
+
+    ``NLSH_CONFIG5_N`` overrides the corpus size (e.g. for CPU smoke)."""
+    import os
+
     import jax, jax.numpy as jnp
+
+    if n_corpus is None:
+        n_corpus = int(os.environ.get("NLSH_CONFIG5_N", 10_000_000))
     from nlsh_tpu.models import get_encoder, get_hashing
     from nlsh_tpu.ops.knn import knn
     from nlsh_tpu.parallel import ShardedIndexer, make_mesh

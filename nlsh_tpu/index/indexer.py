@@ -10,7 +10,7 @@ pipeline in :mod:`nlsh_tpu.index.query`.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

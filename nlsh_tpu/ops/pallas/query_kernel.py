@@ -248,8 +248,12 @@ def _score_kernel(starts_ref, counts_ref, q_ref, corpus_ref, out_ref,
     jax.lax.fori_loop(0, n_steps, body, 0, unroll=False)
 
 
+import os
+
 _N_BUF = 4   # DMA pipeline depth
 _Q_BLOCK = 8  # queries per program (amortises per-program fixed cost)
+# events per program in the pipelined kernels; env-overridable for tuning
+_EVENT_BLOCK_DEFAULT = 8
 
 
 @partial(jax.jit, static_argnames=("cap", "n_probes", "align", "interpret"))
@@ -295,7 +299,7 @@ def _bucket_scores_impl(data, queries_ext, starts, counts,
     return out[:nq]
 
 
-_EVENT_BLOCK = 8  # probe events per program in the auto-pipelined kernel
+_EVENT_BLOCK = int(os.environ.get("NLSH_EVENT_BLOCK", _EVENT_BLOCK_DEFAULT))
 
 
 def _make_auto_kernel(n_probes: int, cap: int, d_pad: int):

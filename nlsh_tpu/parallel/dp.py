@@ -13,7 +13,7 @@ training loop, not a port.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
