@@ -174,12 +174,12 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
                        k: int, g_total: int, max_blocks: int,
                        interpret: bool):
     from nlsh_tpu.ops.pallas.query_kernel import (
-        GROUP_Q, _grouped_prep, _grouped_scores,
+        GROUP_Q, _grouped_prep_v2, _grouped_scores,
     )
 
     qe = extend_queries(layout, queries)
-    grp_block, grp_qvecs, grp_cnt, ev_row, ev_block, ev_valid, _ = (
-        _grouped_prep(
+    grp_block, grp_qvecs, grp_cnt, ev_row, ev_block, ev_valid = (
+        _grouped_prep_v2(
             layout.starts, layout.counts, probe_ids, probe_valid, qe,
             jnp.asarray(layout.cap, jnp.int32), g_total=g_total,
             max_blocks=max_blocks,
@@ -245,7 +245,7 @@ def serving_query_grouped(
     """
     import jax as _jax
 
-    from nlsh_tpu.ops.pallas.query_kernel import count_groups
+    from nlsh_tpu.ops.pallas.query_kernel import count_groups_v2
 
     if interpret is None:
         interpret = _jax.default_backend() != "tpu"
@@ -256,8 +256,8 @@ def serving_query_grouped(
     for s in range(0, nq, query_chunk):
         e = min(s + query_chunk, nq)
         pid, pv = probe_ids[s:e], probe_valid[s:e]
-        n_groups = int(count_groups(
-            layout.starts, layout.counts, pid, pv, cap, max_blocks=max_blocks
+        n_groups = int(count_groups_v2(
+            layout.starts, layout.counts, pid, pv, cap
         ))
         g_total = 1 << max(n_groups - 1, 0).bit_length()
         ids, scores, n_cand = _grouped_query_jit(

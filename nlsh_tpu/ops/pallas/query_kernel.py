@@ -652,6 +652,142 @@ def _grouped_prep(layout_starts, layout_counts, probe_ids, probe_valid,
     return grp_block, grp_qvecs, grp_cnt, ev_row, ev_block, ev_valid, counts
 
 
+# -- grouped prep v2: sort probe EVENTS (nq*P), never block events ---------
+#
+# The naive prep sorts the expanded block-event stream (nq*P*maxB keys);
+# XLA's bitonic sort makes that the dominant cost.  All the grouping
+# structure is derivable from the much smaller probe-event sort plus
+# per-bucket histograms: within one bucket every event has the same
+# count/blocks, so groups factor as (bucket, block j, rank-chunk).
+
+
+def _sorted_probe_events(layout_starts, layout_counts, probe_ids,
+                         probe_valid, cap):
+    """Sort (query, probe) events by bucket id.  Returns per-sorted-event
+    (bucket key, qidx, rank-in-bucket, m=bucket multiplicity, order)."""
+    nq, n_probes = probe_ids.shape
+    n_buckets = layout_counts.shape[0]
+    safe = jnp.clip(probe_ids, 0, n_buckets - 1)
+    counts = jnp.where(
+        probe_valid, jnp.minimum(layout_counts[safe], cap), 0
+    ).astype(jnp.int32)
+    live = counts > 0  # contributes blocks
+
+    key = jnp.where(live, safe, n_buckets).reshape(-1)  # (E,)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sk = key[order]
+    sq = (jnp.repeat(jnp.arange(nq, dtype=jnp.int32), n_probes))[order]
+
+    e = sk.shape[0]
+    pos = jnp.arange(e, dtype=jnp.int32)
+    unique = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    first = jax.lax.associative_scan(jnp.maximum, jnp.where(unique, pos, -1))
+    rank = pos - first
+
+    # events per bucket (live only)
+    hist = (
+        jnp.zeros((n_buckets + 1,), jnp.int32)
+        .at[key]
+        .add(1, mode="drop")
+    )
+    m = hist[jnp.clip(sk, 0, n_buckets)]  # multiplicity of each event's bucket
+    return sk, sq, rank, m, hist, order, counts
+
+
+def _bucket_blocks(layout_counts, cap):
+    """Blocks per bucket under the cap: ceil(min(count, cap)/BLOCK_ROWS)."""
+    capped = jnp.minimum(layout_counts, cap)
+    return (-(-capped // BLOCK_ROWS)).astype(jnp.int32)
+
+
+@jax.jit
+def count_groups_v2(layout_starts, layout_counts, probe_ids, probe_valid, cap):
+    """Closed-form group count — no sort: sum_b nb_b * ceil(m_b / G)."""
+    n_buckets = layout_counts.shape[0]
+    safe = jnp.clip(probe_ids, 0, n_buckets - 1)
+    counts = jnp.where(
+        probe_valid, jnp.minimum(layout_counts[safe], cap), 0
+    ).astype(jnp.int32)
+    live = counts > 0
+    key = jnp.where(live, safe, n_buckets).reshape(-1)
+    hist = jnp.zeros((n_buckets,), jnp.int32).at[key].add(1, mode="drop")
+    nb = _bucket_blocks(layout_counts, cap)
+    return jnp.sum(nb * (-(-hist // GROUP_Q)), dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("g_total", "max_blocks"))
+def _grouped_prep_v2(layout_starts, layout_counts, probe_ids, probe_valid,
+                     queries_ext, cap, g_total: int, max_blocks: int):
+    """Group tables + event->row map, with only an (nq*P)-key sort."""
+    nq, n_probes = probe_ids.shape
+    n_buckets = layout_counts.shape[0]
+    sk, sq, rank, m, hist, order, counts = _sorted_probe_events(
+        layout_starts, layout_counts, probe_ids, probe_valid, cap
+    )
+    nb_bucket = _bucket_blocks(layout_counts, cap)  # (NB,)
+    groups_per_j = -(-hist[:n_buckets] // GROUP_Q)  # ceil(m_b/G)
+    groups_per_bucket = nb_bucket * groups_per_j
+    group_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(groups_per_bucket, dtype=jnp.int32)[:-1]]
+    )
+
+    sk_safe = jnp.clip(sk, 0, n_buckets - 1)
+    s_valid = sk < n_buckets
+    base_block = (layout_starts[sk_safe] // BLOCK_ROWS).astype(jnp.int32)
+    s_count = jnp.minimum(layout_counts[sk_safe], cap).astype(jnp.int32)
+    s_nb = (-(-s_count // BLOCK_ROWS)).astype(jnp.int32)
+    s_gpj = groups_per_j[sk_safe]
+    s_gbase = group_base[sk_safe]
+
+    # (sorted event, j) grid
+    j = jnp.arange(max_blocks, dtype=jnp.int32)
+    ev_valid_s = s_valid[:, None] & (j[None, :] < s_nb[:, None])  # (E, maxB)
+    g = (
+        s_gbase[:, None] + j[None, :] * s_gpj[:, None]
+        + (rank // GROUP_Q)[:, None]
+    )
+    slot = (rank % GROUP_Q).astype(jnp.int32)
+    g_safe = jnp.where(ev_valid_s, g, g_total)
+
+    blockno = base_block[:, None] + j[None, :]
+    cnt_ij = jnp.clip(s_count[:, None] - j[None, :] * BLOCK_ROWS, 0, BLOCK_ROWS)
+
+    grp_block = (
+        jnp.zeros((g_total,), jnp.int32)
+        .at[g_safe.reshape(-1)].set(blockno.reshape(-1), mode="drop")
+    )
+    slot_b = jnp.broadcast_to(slot[:, None], g_safe.shape)
+    grp_qidx = (
+        jnp.zeros((g_total, GROUP_Q), jnp.int32)
+        .at[g_safe.reshape(-1), slot_b.reshape(-1)]
+        .set(jnp.broadcast_to(sq[:, None], g_safe.shape).reshape(-1),
+             mode="drop")
+    )
+    grp_cnt = (
+        jnp.zeros((g_total, GROUP_Q), jnp.int32)
+        .at[g_safe.reshape(-1), slot_b.reshape(-1)]
+        .set(cnt_ij.reshape(-1), mode="drop")
+    )
+    grp_qvecs = queries_ext[grp_qidx]
+
+    # event rows back in ORIGINAL probe-event order: (E, maxB)
+    row_sorted = jnp.where(ev_valid_s, g * GROUP_Q + slot[:, None], 0)
+    e_total = nq * n_probes
+    ev_row = (
+        jnp.zeros((e_total, max_blocks), jnp.int32)
+        .at[order].set(row_sorted)
+    )
+    ev_valid = (
+        jnp.zeros((e_total, max_blocks), bool).at[order].set(ev_valid_s)
+    )
+    # block number per (event, j) in original order, for id mapping
+    ev_block = (
+        jnp.zeros((e_total, max_blocks), jnp.int32).at[order].set(blockno)
+    )
+    return grp_block, grp_qvecs, grp_cnt, ev_row, ev_block, ev_valid
+
+
 def total_block_events(layout: ServingLayout, probe_ids, probe_valid,
                        cap: int | None = None) -> int:
     """Host helper: number of compact block events for a probe batch
