@@ -115,7 +115,7 @@ def config_2():
     from nlsh_tpu.models import get_encoder, get_hashing
     from nlsh_tpu.ops.knn import self_knn
 
-    data = _data("sift", 1_000_000, 5000, 128, "euclidean")
+    data = _data("sift", 1_000_000, 2000, 128, "euclidean")
     # train on a subset (self-kNN of the full 1M is the offline
     # precompute path; keep this config bounded)
     rng = np.random.default_rng(0)
@@ -141,8 +141,11 @@ def config_2():
     )
     state, train_s = _train(hashing, _Sub(), steps=400, batch_size=2048)
     t0 = time.perf_counter()
+    # euclidean pads 128+1 dims to 256 lanes; bf16 layout keeps the
+    # bucket-contiguous copy within HBM next to the corpus
     idx = Indexer(hashing, state.params["hashing"],
-                  jnp.asarray(data.training), metric="euclidean")
+                  jnp.asarray(data.training), metric="euclidean",
+                  serving_dtype=jnp.bfloat16)
     build_s = time.perf_counter() - t0
     m = _measure(
         lambda q: idx.query(q, k=10, hash_times=10, key=jax.random.PRNGKey(1)),
@@ -213,7 +216,7 @@ def config_5(n_corpus=None):
 
     _log("exact GT")
     _, gt = knn(queries, corpus, k=10, metric="cosine",
-                query_tile=1024, corpus_chunk=262_144)
+                query_tile=1024, corpus_chunk=131_072)
     gt = np.asarray(gt)
 
     hashing = get_hashing(
