@@ -63,13 +63,18 @@ class MultiTableIndexer:
     """
 
     def __init__(self, hashing, stacked_params, corpus, metric="cosine",
-                 probe_budget: int | None = None, mesh: Mesh | None = None):
+                 probe_budget: int | None = None, mesh: Mesh | None = None,
+                 engine: str = "auto"):
+        if engine not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.hashing = hashing
         self.params = stacked_params
         self.corpus = jnp.asarray(corpus)
         self.metric = metric
         self.mesh = mesh
+        self.engine = engine
         self._query_cache: dict = {}
+        self._layouts = None
         self.n_tables = jax.tree.leaves(stacked_params)[0].shape[0]
         if mesh is not None:
             (self.axis,) = mesh.axis_names
@@ -233,12 +238,69 @@ class MultiTableIndexer:
         self._query_cache[cache_key] = fn
         return fn
 
+    # -- Pallas serving path (one bucket-contiguous layout per table) -------
+    def _build_layouts(self):
+        """Per-table serving layouts.  Memory note: each layout holds a
+        bucket-ordered copy of the corpus — L copies total — so this
+        path suits serving deployments where HBM admits L x corpus."""
+        if self._layouts is not None:
+            return self._layouts
+        from nlsh_tpu.index.bucket_table import BucketTable
+        from nlsh_tpu.ops.pallas.query_kernel import serving_layout
+
+        cap = int(jnp.max(self.counts))
+        layouts = []
+        for t in range(self.n_tables):
+            table = BucketTable(self.row_ids[t], self.starts[t], self.counts[t])
+            layouts.append(
+                serving_layout(table, self.corpus, metric=self.metric, cap=cap)
+            )
+        self._layouts = layouts
+        return layouts
+
+    def _query_serving(self, queries, pids, pvalid, k: int):
+        """Per-table Pallas scoring + cross-table merge with duplicate-id
+        suppression.  ``n_candidates`` is the summed probed occupancy
+        across tables (an upper bound on distinct candidates; the XLA
+        engine reports the exact distinct count)."""
+        from nlsh_tpu.index.serving import serving_query
+
+        layouts = self._build_layouts()
+        per_ids, per_scores, per_cand = [], [], []
+        for t, layout in enumerate(layouts):
+            ids, scores, n_cand = serving_query(
+                layout, queries, pids[t], pvalid[t], self.counts[t], k=k
+            )
+            per_ids.append(ids)
+            per_scores.append(scores)
+            per_cand.append(n_cand)
+
+        all_i = jnp.concatenate(per_ids, axis=1)      # (nq, L*k)
+        all_s = jnp.concatenate(per_scores, axis=1)
+        n = self.corpus.shape[0]
+        # dedupe by id: sort by id, mask repeats, re-top-k by score
+        order = jnp.argsort(jnp.where(all_i < 0, jnp.int32(n), all_i), axis=1)
+        si = jnp.take_along_axis(all_i, order, axis=1)
+        ss = jnp.take_along_axis(all_s, order, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros_like(si[:, :1], bool), si[:, 1:] == si[:, :-1]], axis=1
+        )
+        ss = jnp.where(dup | (si < 0), -jnp.inf, ss)
+        top, arg = jax.lax.top_k(ss, k)
+        merged = jnp.where(
+            jnp.isfinite(top), jnp.take_along_axis(si, arg, axis=1), -1
+        ).astype(jnp.int32)
+        return np.asarray(merged), np.asarray(sum(per_cand))
+
     def query(self, queries, k: int = 10, hash_times: int = 1, key=None):
         """Query the ensemble.  ``hash_times=1`` (hard probe per table)
         is the typical multi-table operating point — the ensemble
         provides the recall that multi-probe provides a single table.
 
-        Returns ``(topk_ids (nq, k), n_distinct_candidates (nq,))``.
+        Returns ``(topk_ids (nq, k), n_candidates (nq,))`` —
+        ``n_candidates`` is the exact distinct-candidate count on the
+        XLA engine and the summed per-table occupancy (upper bound) on
+        the Pallas engine.
         """
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -254,6 +316,13 @@ class MultiTableIndexer:
             )(self.params)
         else:
             pids, pvalid = jax.vmap(per_table_hash)(self.params, keys)
+
+        engine = self.engine
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if (engine == "pallas" and self.mesh is None
+                and self.metric in ("cosine", "euclidean", "sq_euclidean")):
+            return self._query_serving(queries, pids, pvalid, k)
 
         chunk = _mt_query_chunk(
             self.n_tables, hash_times, self.probe_budget, queries.shape[1]

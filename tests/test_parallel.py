@@ -168,6 +168,25 @@ def test_multitable_more_tables_more_candidates(data):
     assert r4 >= r1  # ensemble can only widen the candidate union
 
 
+def test_multitable_pallas_engine_matches_xla(data):
+    """The per-table serving path must return the same top-k ids as the
+    XLA union-dedupe path (n_candidates is documented as an upper bound
+    on the Pallas engine)."""
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    stacked = init_multi_table(hashing, 4, jax.random.PRNGKey(9))
+
+    mt_x = MultiTableIndexer(hashing, stacked, corpus, metric="cosine",
+                             engine="xla")
+    x_top, x_cand = mt_x.query(queries, k=5)
+    mt_p = MultiTableIndexer(hashing, stacked, corpus, metric="cosine",
+                             engine="pallas")
+    p_top, p_cand = mt_p.query(queries, k=5)
+    assert (np.sort(p_top, 1) == np.sort(x_top, 1)).mean() > 0.99
+    assert (p_cand >= x_cand).all()
+
+
 def test_multitable_sharded_matches_unsharded(data):
     hashing = _hashing()
     corpus = jnp.asarray(data.training)
