@@ -146,6 +146,22 @@ def main():
         except Exception as e:  # never lose the bench line to one engine
             print(f"{engine} skipped: {e!r}", flush=True)
 
+    if not sweep:
+        # both Pallas engines failed: fall back to the XLA gather path
+        # so the bench line is degraded, never lost
+        indexer.engine = "xla"
+        top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
+                                    key=qkey, probe_mode="flip")
+        t0 = time.perf_counter()
+        top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
+                                    key=qkey, probe_mode="flip")
+        sweep.append({
+            "engine": "xla-fallback",
+            "cap": int(indexer.probe_budget),
+            "qps": N_QUERIES / (time.perf_counter() - t0),
+            "recall": float(calculate_recall(gt, top, np.mean)),
+            "query_size": float(np.mean(n_cand)),
+        })
     exact_recall = max(s["recall"] for s in sweep)
     eligible = [s for s in sweep if s["recall"] >= exact_recall - 0.01]
     best = max(eligible, key=lambda s: s["qps"])

@@ -199,10 +199,27 @@ class Categorical:
     ) -> tuple[Array, Array]:
         # top-n probing is already deterministic best-first; probe_mode
         # is accepted for interface uniformity
+        if n_probes < 1:
+            raise ValueError(
+                f"`n_probes` should be a positive integer, got {n_probes}"
+            )
         p = self.predict(params, x)
-        _, ids = jax.lax.top_k(p, n_probes)  # (n, n_probes)
-        ids = jnp.sort(ids.astype(jnp.int32), axis=-1)
-        valid = jnp.ones_like(ids, dtype=bool)
+        # only hash_size distinct buckets exist: clamp the top-k width
+        # and mark excess probe slots invalid instead of crashing inside
+        # jit with an opaque shape error
+        k_eff = min(n_probes, self.hash_size)
+        _, ids = jax.lax.top_k(p, k_eff)  # (n, k_eff)
+        ids = ids.astype(jnp.int32)
+        if k_eff < n_probes:
+            pad = jnp.broadcast_to(
+                ids[:, -1:], (ids.shape[0], n_probes - k_eff)
+            )
+            ids = jnp.concatenate([ids, pad], axis=-1)
+        ids = jnp.sort(ids, axis=-1)
+        valid = jnp.concatenate(
+            [jnp.ones_like(ids[:, :1], bool),
+             ids[:, 1:] != ids[:, :-1]], axis=-1,
+        )
         return ids, valid
 
     def hash_hard(self, params: Params, x: Array) -> Array:

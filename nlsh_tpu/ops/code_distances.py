@@ -143,7 +143,14 @@ class MVBernoulliKLDivergence:
 
 
 class MVBernoulliMeanKLDivergence:
-    """Symmetrised KL (reference distances.py:167-203)."""
+    """Symmetrised KL (reference distances.py:167-203).
+
+    Deviation (a FIX, listed in PARITY.md): ``pairwise``/``row_pairwise``
+    add the q→p term **transposed** so cell (i, j) is
+    ``(KL(p_i‖q_j) + KL(q_j‖p_i)) / 2`` — the correct symmetrisation.
+    The reference adds it untransposed (``distances.py:183-203``), which
+    for square batches mixes row i with an unrelated q_i.
+    """
 
     def __init__(self, epsilon: float = _Q_FLOOR):
         self.epsilon = epsilon

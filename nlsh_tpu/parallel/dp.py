@@ -58,9 +58,12 @@ def build_dp_segment_runner(loss_fn, tx, batch_size: int, mesh: Mesh):
                     for name, arr in arrays_local.items()
                 }
                 # distinct randomness per device (e.g. the proposed
-                # trainer's regulariser sampling)
+                # trainer's regulariser sampling); fold the epoch-step
+                # index, not the segment-local i, so segments sharing an
+                # epoch key never replay per-step keys
                 step_key = jax.random.fold_in(
-                    jax.random.fold_in(key, i), jax.lax.axis_index(axis)
+                    jax.random.fold_in(key, step_in_epoch),
+                    jax.lax.axis_index(axis),
                 )
 
                 def scalar_loss(params):

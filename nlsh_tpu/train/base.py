@@ -25,10 +25,12 @@ Evaluation every ``test_every_updates`` steps rebuilds the index and
 logs the same channels as the reference (``base.py:80-115``):
 ``test/n_indexes``, ``test/std_index_rows``, ``test/recall``,
 ``test/query_size``, ``test/qps``, plus the 10k-sample train-set
-overfit probe.  Best-model checkpointing fixes the reference's
-never-updated ``best_query_size`` wart (``base.py:100-103``) and adds
-optimizer-state resume, which the reference lacks entirely (§5 of the
-survey).
+overfit probe.  Best-model checkpointing follows the reference's
+*effective* semantics — save on recall improvement (its
+``best_query_size`` gate is never updated, ``base.py:100-103``, so the
+AND condition is recall-only in practice; a strict Pareto gate could
+stop checkpointing forever) — and adds optimizer-state resume, which
+the reference lacks entirely (§5 of the survey).
 """
 
 from __future__ import annotations
@@ -120,7 +122,11 @@ class Trainer(abc.ABC):
                     name: jax.lax.dynamic_slice_in_dim(arr, start, batch_size)
                     for name, arr in arrays.items()
                 }
-                step_key = jax.random.fold_in(key, i)
+                # fold in the epoch-step index (seg_start + i), not the
+                # segment-local i: segments within one epoch share `key`,
+                # so folding i alone would replay identical per-step keys
+                # at corresponding steps of every segment
+                step_key = jax.random.fold_in(key, step_in_epoch)
 
                 def scalar_loss(params):
                     return loss_fn(
@@ -289,7 +295,15 @@ class Trainer(abc.ABC):
                         probe_train, probe_gt, K, hash_times,
                         int(state.step), eval_key, probe_mode,
                     )
-                    if recall > best_recall and query_size < best_query_size:
+                    # Checkpoint on recall improvement.  The reference
+                    # gates on ``recall > best AND query_size < best``
+                    # but never updates best_query_size
+                    # (trainers/base.py:100-103), making it effectively
+                    # recall-only; a strict Pareto gate can stop
+                    # checkpointing forever once query_size grows, so we
+                    # adopt the reference's *effective* semantics and
+                    # report query_size alongside.
+                    if recall > best_recall:
                         best_recall, best_query_size = recall, query_size
                         self.save_checkpoint(state, recall)
             if stop:

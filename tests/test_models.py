@@ -188,3 +188,27 @@ def test_product_quantization():
     assert ids.shape == (16, 5)
     for i in range(16):
         assert hard[i] in np.asarray(ids)[i][np.asarray(valid)[i]].tolist()
+
+
+def test_categorical_nprobes_validation():
+    """n_probes < 1 raises; n_probes > n_buckets clamps (excess slots
+    masked invalid) instead of crashing inside jit (round-1 advisor)."""
+    import jax
+
+    from nlsh_tpu.models.encoders import MLPEncoder
+    from nlsh_tpu.models.hashings import Categorical
+
+    h = Categorical(MLPEncoder(input_dim=8, hidden_dims=(16,)), 4)
+    params = h.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 8)),
+                    jnp.float32)
+    with pytest.raises(ValueError):
+        h.hash(params, x, n_probes=0)
+    ids, valid = h.hash(params, x, n_probes=9)  # > 4 buckets
+    assert ids.shape == (5, 9) and valid.shape == (5, 9)
+    # exactly 4 valid probes per row (all distinct buckets)
+    assert np.all(np.asarray(valid.sum(axis=1)) == 4)
+    v = np.asarray(valid)
+    i = np.asarray(ids)
+    for r in range(5):
+        assert len(set(i[r][v[r]])) == 4
