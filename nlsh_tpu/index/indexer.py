@@ -50,6 +50,11 @@ class Indexer:
         the table's max occupancy (exact reference semantics).
     """
 
+    #: corpora past this row count build the serving layout on the HOST
+    #: (numpy permutation) — the jitted builder's scatter makes the
+    #: remote compile host OOM at multi-million rows
+    HOST_LAYOUT_ROWS = 2_000_000
+
     def __init__(
         self,
         hashing,
@@ -59,14 +64,18 @@ class Indexer:
         probe_budget: int | None = None,
         engine: str = "auto",
         serving_dtype=None,
+        layout_mode: str = "auto",
     ):
         if engine not in ("auto", "xla", "pallas", "pallas-grouped"):
             raise ValueError(f"unknown engine {engine!r}")
+        if layout_mode not in ("auto", "device", "host"):
+            raise ValueError(f"unknown layout_mode {layout_mode!r}")
         self.hashing = hashing
         self.params = params
         self.corpus = corpus
         self.metric = metric
         self.engine = engine
+        self.layout_mode = layout_mode
         # bf16 serving layout halves streamed bytes; rank flips only
         # among candidates whose distances differ below bf16 resolution
         self.serving_dtype = serving_dtype or jnp.float32
@@ -81,9 +90,16 @@ class Indexer:
     def layout(self):
         """Lazily-built bucket-contiguous serving layout (Pallas path)."""
         if self._layout is None:
-            from nlsh_tpu.ops.pallas.query_kernel import serving_layout
+            from nlsh_tpu.ops.pallas.query_kernel import (
+                serving_layout, serving_layout_host,
+            )
 
-            self._layout = serving_layout(
+            host = self.layout_mode == "host" or (
+                self.layout_mode == "auto"
+                and self.corpus.shape[0] >= self.HOST_LAYOUT_ROWS
+            )
+            build = serving_layout_host if host else serving_layout
+            self._layout = build(
                 self.table, self.corpus, metric=self.metric,
                 cap=self.probe_budget, dtype=self.serving_dtype,
             )

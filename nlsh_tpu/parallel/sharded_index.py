@@ -44,26 +44,43 @@ class ShardedIndexer:
       mesh: 1-D ``Mesh``; its axis name is the shard axis.
     """
 
+    #: local shard row counts past this build the serving layout on the
+    #: host (numpy) — the jitted builder's scatter makes the remote
+    #: compile host OOM at multi-million rows (BASELINE config 5)
+    HOST_LAYOUT_ROWS = 1_500_000
+
     def __init__(self, hashing, params, corpus, mesh: Mesh,
                  metric: str = "cosine", probe_budget: int | None = None,
-                 engine: str = "auto"):
-        if engine not in ("auto", "xla", "pallas"):
+                 engine: str = "auto", serving_dtype=None,
+                 layout_mode: str = "auto"):
+        if engine not in ("auto", "xla", "pallas", "pallas-grouped"):
             raise ValueError(f"unknown engine {engine!r}")
+        if layout_mode not in ("auto", "device", "host"):
+            raise ValueError(f"unknown layout_mode {layout_mode!r}")
         self.hashing = hashing
         self.params = params
         self.mesh = mesh
         self.metric = metric
         self.engine = engine
+        self.serving_dtype = serving_dtype or jnp.float32
+        self.layout_mode = layout_mode
         self._query_cache: dict = {}
         self._layouts = None
         (self.axis,) = mesh.axis_names
         n_dev = mesh.devices.size
 
+        # keep a host copy when the caller already has one: the host
+        # layout builder then never fetches the corpus back through the
+        # relay
+        corpus_host = corpus if isinstance(corpus, np.ndarray) else None
         corpus = jnp.asarray(corpus)
         self.n_real = corpus.shape[0]
         pad = (-self.n_real) % n_dev
         if pad:
             corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+            if corpus_host is not None:
+                corpus_host = np.pad(corpus_host, ((0, pad), (0, 0)))
+        self._corpus_host = corpus_host
         self.n_padded = corpus.shape[0]
         self.n_local = self.n_padded // n_dev
         self.corpus = jax.device_put(
@@ -113,69 +130,123 @@ class ShardedIndexer:
 
     # -- Pallas serving layouts (one per shard, shared static shapes) -------
     def _build_layouts(self):
-        """Per-shard bucket-contiguous serving layouts, built inside
-        shard_map with shard-uniform static shapes (cap from the global
-        max bucket, rows padded to the largest shard's aligned size)."""
+        """Per-shard bucket-contiguous serving layouts with shard-uniform
+        static shapes (cap from the global max bucket, rows padded to the
+        largest shard's aligned size).  Small shards build inside
+        shard_map; multi-million-row shards build on the HOST
+        (:func:`layout_arrays_host`) so the remote compile host never
+        sees the full-corpus scatter (round-1 blocker, RESULTS.md)."""
         if self._layouts is not None:
             return self._layouts
         from nlsh_tpu.ops.pallas.query_kernel import (
-            aligned_rows, layout_arrays, round_cap,
+            BLOCK_ROWS, aligned_rows, layout_arrays, layout_arrays_host,
+            round_cap,
         )
 
         cap = round_cap(int(jnp.max(self.counts)))
         counts_np = np.asarray(self.counts)  # (D, n_buckets)
         n_aligned = max(aligned_rows(c, cap) for c in counts_np)
+        # shard-uniform static group bound: the largest shard's blocks
+        total_blocks = int(max(
+            (-(-np.minimum(c, cap) // BLOCK_ROWS)).sum() for c in counts_np
+        ))
         axis, metric = self.axis, self.metric
+        euclid = metric in ("euclidean", "sq_euclidean")
+        dtype = self.serving_dtype
+        host = self.layout_mode == "host" or (
+            self.layout_mode == "auto" and self.n_local >= self.HOST_LAYOUT_ROWS
+        )
+
+        if host:
+            n_dev = self.mesh.devices.size
+            rids = np.asarray(self.row_ids).reshape(n_dev, self.n_local)
+            starts_np = np.asarray(self.starts)
+            corpus_host = self._corpus_host
+            if corpus_host is None:
+                corpus_host = np.asarray(self.corpus)
+            parts = [
+                layout_arrays_host(
+                    rids[s], starts_np[s], counts_np[s],
+                    corpus_host[s * self.n_local:(s + 1) * self.n_local],
+                    cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
+                )
+                for s in range(n_dev)
+            ]
+            put = lambda arrs, spec: jax.device_put(  # noqa: E731
+                np.stack(arrs), NamedSharding(self.mesh, spec)
+            )
+            data = put([p[0] for p in parts], P(axis, None, None))
+            row_map = put([p[1] for p in parts], P(axis, None))
+            astarts = put([p[2] for p in parts], P(axis, None))
+            norms = (put([p[3] for p in parts], P(axis, None))
+                     if euclid else None)
+            self._layouts = (data, row_map, astarts, norms, cap, total_blocks)
+            return self._layouts
 
         @jax.jit
         @partial(
             shard_map,
             mesh=self.mesh,
             in_specs=(P(axis), P(axis, None), P(axis, None), P(axis, None)),
-            out_specs=(P(axis, None, None), P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None, None), P(axis, None), P(axis, None),
+                       P(axis, None)),
             check_vma=False,
         )
         def build(row_ids, starts, counts, corpus_local):
-            data, row_map, astarts = layout_arrays(
+            data, row_map, astarts, norms = layout_arrays(
                 row_ids, starts[0], counts[0], corpus_local,
-                cap=cap, n_aligned=n_aligned, metric=metric,
+                cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
             )
-            return data[None], row_map[None], astarts[None]
+            if norms is None:  # uniform output structure across metrics
+                norms = jnp.zeros((0,), jnp.float32)
+            return data[None], row_map[None], astarts[None], norms[None]
 
-        data, row_map, astarts = build(
+        data, row_map, astarts, norms = build(
             self.row_ids, self.starts, self.counts, self.corpus
         )
-        self._layouts = (data, row_map, astarts, cap)
+        if not euclid:
+            norms = None
+        self._layouts = (data, row_map, astarts, norms, cap, total_blocks)
         return self._layouts
 
-    def _serving_query_fn(self, k: int):
-        cache_key = ("serving", k)
+    def _serving_query_fn(self, k: int, engine: str):
+        cache_key = ("serving", k, engine)
         if cache_key in self._query_cache:
             return self._query_cache[cache_key]
-        from nlsh_tpu.index.serving import serving_query
+        from nlsh_tpu.index.serving import (
+            serving_query, serving_query_grouped,
+        )
         from nlsh_tpu.ops.pallas.query_kernel import ServingLayout
 
-        data, row_map, astarts, cap = self._build_layouts()
+        data, row_map, astarts, norms, cap, total_blocks = (
+            self._build_layouts()
+        )
         d_pad = data.shape[-1]
         axis, metric, n_local = self.axis, self.metric, self.n_local
+        has_norms = norms is not None
+        if not has_norms:  # shard_map needs an array operand regardless
+            norms = jnp.zeros((data.shape[0], 0), jnp.float32)
 
         @jax.jit
         @partial(
             shard_map,
             mesh=self.mesh,
             in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
-                      P(axis, None), P(), P(), P()),
+                      P(axis, None), P(axis, None), P(), P(), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        def q(data, row_map, astarts, counts, qs, pids, pvalid):
+        def q(data, row_map, astarts, norms, counts, qs, pids, pvalid):
             shard = jax.lax.axis_index(axis)
             layout = ServingLayout(
                 data=data[0], row_map=row_map[0], starts=astarts[0],
                 counts=counts[0], cap=cap, d_pad=d_pad, align=cap,
-                metric=metric,
+                metric=metric, norms=norms[0] if has_norms else None,
+                total_blocks=total_blocks,
             )
-            ids, scores, ncand = serving_query(
+            serve = (serving_query_grouped if engine == "pallas-grouped"
+                     else serving_query)
+            ids, scores, ncand = serve(
                 layout, qs, pids, pvalid, counts[0], k=k
             )
             gids = jnp.where(ids >= 0, ids + shard * n_local, -1)
@@ -251,13 +322,15 @@ class ShardedIndexer:
         engine = self.engine
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if engine == "pallas" and self.metric in (
+        if engine in ("pallas", "pallas-grouped") and self.metric in (
             "cosine", "euclidean", "sq_euclidean"
         ):
-            data, row_map, astarts, _ = self._build_layouts()
-            q = self._serving_query_fn(k)
+            data, row_map, astarts, norms, _, _ = self._build_layouts()
+            if norms is None:
+                norms = jnp.zeros((data.shape[0], 0), jnp.float32)
+            q = self._serving_query_fn(k, engine)
             ids, _, ncand = q(
-                data, row_map, astarts, self.counts,
+                data, row_map, astarts, norms, self.counts,
                 queries, probe_ids, probe_valid,
             )
             return np.asarray(ids), np.asarray(ncand)

@@ -205,3 +205,64 @@ def test_multitable_sharded_matches_unsharded(data):
     # upper bound (cross-device duplicates are not globally deduped)
     assert (s_cand >= p_cand).all()
     assert (np.sort(p_top, 1) == np.sort(s_top, 1)).mean() > 0.99
+
+
+def test_sharded_grouped_and_host_layout_match_xla(data):
+    """New round-2 engine surface: pallas-grouped under shard_map and
+    the host-built layout must both reproduce the sharded XLA path."""
+    hashing = _hashing()
+    params = hashing.init(jax.random.PRNGKey(0))
+    corpus = np.asarray(data.training)  # numpy: exercises _corpus_host
+    queries = jnp.asarray(data.testing)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(4, axis="shard")
+
+    sx = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                        engine="xla")
+    x_top, x_cand = sx.query(queries, k=5, hash_times=4, key=key)
+
+    sg = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                        engine="pallas-grouped", layout_mode="host")
+    g_top, g_cand = sg.query(queries, k=5, hash_times=4, key=key)
+    np.testing.assert_array_equal(g_cand, x_cand)
+    assert (np.sort(g_top, 1) == np.sort(x_top, 1)).mean() > 0.99
+
+
+@pytest.mark.parametrize("engine", ["pallas", "pallas-grouped"])
+def test_multitable_stacked_engines_match_xla(data, engine):
+    """Round-2 stacked single-layout serving (one call for all L
+    tables) must reproduce the XLA union-rerank path."""
+    from nlsh_tpu.parallel.multitable import MultiTableIndexer, init_multi_table
+
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    params = init_multi_table(hashing, 4, jax.random.PRNGKey(3))
+
+    mx = MultiTableIndexer(hashing, params, corpus, engine="xla")
+    x_top, _ = mx.query(queries, k=5, hash_times=2,
+                        key=jax.random.PRNGKey(5))
+    mp = MultiTableIndexer(hashing, params, corpus, engine=engine)
+    p_top, p_cand = mp.query(queries, k=5, hash_times=2,
+                             key=jax.random.PRNGKey(5))
+    assert (np.sort(p_top, 1) == np.sort(x_top, 1)).mean() > 0.99
+
+
+@pytest.mark.parametrize("engine", ["pallas", "pallas-grouped"])
+def test_multitable_sharded_stacked_matches_unsharded(data, engine):
+    """Table-sharded stacked serving (mesh) == unsharded stacked."""
+    from nlsh_tpu.parallel.multitable import MultiTableIndexer, init_multi_table
+    from nlsh_tpu.parallel import make_mesh
+
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    params = init_multi_table(hashing, 4, jax.random.PRNGKey(3))
+
+    m1 = MultiTableIndexer(hashing, params, corpus, engine=engine)
+    t1, c1 = m1.query(queries, k=5, hash_times=2, key=jax.random.PRNGKey(5))
+    mesh = make_mesh(4, axis="table")
+    m2 = MultiTableIndexer(hashing, params, corpus, mesh=mesh, engine=engine)
+    t2, c2 = m2.query(queries, k=5, hash_times=2, key=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.sort(t1, 1), np.sort(t2, 1))
+    np.testing.assert_array_equal(c1, c2)

@@ -177,3 +177,57 @@ def test_indexer_pallas_engine_matches_xla():
     np.testing.assert_array_equal(c1, c2)
     assert (t1 == t2).mean() > 0.98
     assert (t2[:, 0] == np.arange(32)).all()  # self-retrieval
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+@pytest.mark.parametrize("dtype", ["f32", "bf16"])
+def test_host_layout_matches_device_layout(metric, dtype):
+    """layout_arrays_host must be bit-identical to the traced builder —
+    it replaces it above Indexer.HOST_LAYOUT_ROWS (config 5 path)."""
+    from nlsh_tpu.ops.pallas.query_kernel import serving_layout_host
+
+    dt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    rng = np.random.default_rng(7)
+    n, d, nb = 700, 20, 32
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    bucket_ids = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
+    table = build_bucket_table(bucket_ids, nb)
+
+    dev = serving_layout(table, corpus, metric=metric, cap=128, dtype=dt)
+    host = serving_layout_host(table, np.asarray(corpus), metric=metric,
+                               cap=128, dtype=dt)
+    assert host.cap == dev.cap and host.d_pad == dev.d_pad
+    assert host.total_blocks == dev.total_blocks
+    np.testing.assert_array_equal(np.asarray(host.row_map),
+                                  np.asarray(dev.row_map))
+    np.testing.assert_array_equal(np.asarray(host.starts),
+                                  np.asarray(dev.starts))
+    np.testing.assert_allclose(
+        np.asarray(host.data, np.float32), np.asarray(dev.data, np.float32),
+        rtol=1e-6, atol=1e-7,
+    )
+    if metric == "euclidean":
+        np.testing.assert_allclose(np.asarray(host.norms),
+                                   np.asarray(dev.norms), rtol=1e-5)
+    else:
+        assert host.norms is None and dev.norms is None
+
+
+def test_indexer_host_layout_mode_matches_device():
+    rng = np.random.default_rng(11)
+    n, d = 3000, 16
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(64, d)).astype(np.float32))
+    enc = MLPEncoder(input_dim=d, hidden_dims=(16,))
+    hashing = MultivariateBernoulli(enc, 5)
+    params = hashing.init(jax.random.PRNGKey(0))
+
+    tops = []
+    for mode in ("device", "host"):
+        idx = Indexer(hashing, params, corpus, metric="cosine",
+                      engine="pallas", layout_mode=mode)
+        top, n_cand = idx.query(queries, k=5, hash_times=4,
+                                key=jax.random.PRNGKey(2))
+        tops.append((top, n_cand))
+    np.testing.assert_array_equal(tops[0][0], tops[1][0])
+    np.testing.assert_array_equal(tops[0][1], tops[1][1])
