@@ -56,6 +56,20 @@ class _BenchData:
         return self
 
 
+def glove100_workload(rng, n_corpus=N_CORPUS, n_queries=N_QUERIES, dim=DIM):
+    """The bench workload: synthetic clustered unit-sphere data with the
+    exact glove-100-angular shape (shared with benchmarks/frontier.py
+    and benchmarks/train_full.py)."""
+    n_clusters = 4096
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n_corpus + n_queries)
+    pts = centers[assign] + 0.35 * rng.normal(
+        size=(n_corpus + n_queries, dim)
+    ).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pts[:n_corpus], pts[n_corpus:]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -69,15 +83,7 @@ def main():
     t_start = time.perf_counter()
     rng = np.random.default_rng(SEED)
 
-    # -- synthetic glove-100-shaped workload (clustered, unit sphere) ---
-    n_clusters = 4096
-    centers = rng.normal(size=(n_clusters, DIM)).astype(np.float32)
-    assign = rng.integers(0, n_clusters, size=N_CORPUS + N_QUERIES)
-    pts = centers[assign] + 0.35 * rng.normal(
-        size=(N_CORPUS + N_QUERIES, DIM)
-    ).astype(np.float32)
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
-    corpus_np, queries_np = pts[:N_CORPUS], pts[N_CORPUS:]
+    corpus_np, queries_np = glove100_workload(rng)
     corpus = jnp.asarray(corpus_np)
     queries = jnp.asarray(queries_np)
 
@@ -110,8 +116,11 @@ def main():
     params = state.params["hashing"]
 
     # -- index build on the FULL corpus (the build-time metric) ---------
+    # bf16 layout: halves streamed bytes; grouped engine runs native
+    # bf16 MXU matmuls (recall impact < 1e-3 at this operating point)
     t0 = time.perf_counter()
-    indexer = Indexer(hashing, params, corpus, metric="cosine")
+    indexer = Indexer(hashing, params, corpus, metric="cosine",
+                      serving_dtype=jnp.bfloat16)
     jax.block_until_ready(indexer.table.row_ids)
     build_s = time.perf_counter() - t0
     max_bucket = indexer.probe_budget
@@ -123,7 +132,7 @@ def main():
     mean_bucket = N_CORPUS / hashing.n_buckets
     cap = 1 << int(np.ceil(np.log2(1.2 * mean_bucket)))
     sweep = []
-    for engine in ("pallas", "pallas-grouped"):
+    for engine in ("pallas-grouped", "pallas"):
         try:
             indexer.engine = engine
             indexer.probe_budget = int(cap)

@@ -141,11 +141,12 @@ def config_2():
     )
     state, train_s = _train(hashing, _Sub(), steps=400, batch_size=2048)
     t0 = time.perf_counter()
-    # euclidean pads 128+1 dims to 256 lanes; bf16 layout keeps the
-    # bucket-contiguous copy within HBM next to the corpus
+    # round 2: ||c||^2 rides a separate array, so d=128 streams 128
+    # lanes (not the 256 the old d+1 column padded to); grouped engine
+    # streams occupancy-proportional bytes
     idx = Indexer(hashing, state.params["hashing"],
                   jnp.asarray(data.training), metric="euclidean",
-                  serving_dtype=jnp.bfloat16)
+                  serving_dtype=jnp.bfloat16, engine="pallas-grouped")
     build_s = time.perf_counter() - t0
     m = _measure(
         lambda q: idx.query(q, k=10, hash_times=10, key=jax.random.PRNGKey(1)),
@@ -179,8 +180,11 @@ def config_4(n_train=200_000):
     state, train_s = _train(hashing, data, steps=300, batch_size=1024,
                             n_tables=8)
     t0 = time.perf_counter()
+    # round 2: ONE stacked layout served by one grouped call (the old
+    # per-table Python loop is gone); bf16 halves the L-copy HBM cost
     idx = MultiTableIndexer(hashing, state.params["hashing"],
-                            jnp.asarray(data.training), metric="cosine")
+                            jnp.asarray(data.training), metric="cosine",
+                            serving_dtype=jnp.bfloat16)
     build_s = time.perf_counter() - t0
     m = _measure(
         lambda q: idx.query(q, k=10, hash_times=1),
@@ -212,7 +216,9 @@ def config_5(n_corpus=None):
     pts = centers[assign] + 0.3 * rng.normal(
         size=(n_corpus + n_test, dim)).astype(np.float32)
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
-    corpus, queries = jnp.asarray(pts[:n_corpus]), jnp.asarray(pts[n_corpus:])
+    # corpus stays numpy: ShardedIndexer keeps the host copy so the
+    # host layout builder never fetches 4 GB back through the relay
+    corpus, queries = pts[:n_corpus], jnp.asarray(pts[n_corpus:])
 
     _log("exact GT")
     _, gt = knn(queries, corpus, k=10, metric="cosine",
@@ -227,7 +233,12 @@ def config_5(n_corpus=None):
     mesh = make_mesh(axis="shard")
     _log(f"sharding over {mesh.devices.size} device(s)")
     t0 = time.perf_counter()
-    idx = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine")
+    # round 2: host-built serving layout (the on-device layout compile
+    # OOMed the remote compile host at this scale, RESULTS.md r1) +
+    # grouped engine + bf16
+    idx = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                         engine="pallas-grouped",
+                         serving_dtype=jnp.bfloat16)
     build_s = time.perf_counter() - t0
     m = _measure(
         lambda q: idx.query(q, k=10, hash_times=10, key=jax.random.PRNGKey(1)),

@@ -137,5 +137,48 @@ def main():
                                   "error": repr(e)}), flush=True)
 
 
+def indexer_mode():
+    """Time the full Indexer.query surface (hash + serve fused) the way
+    bench.py measures it."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlsh_tpu.index import Indexer
+    from nlsh_tpu.models import get_encoder, get_hashing
+
+    rng = np.random.default_rng(SEED)
+    corpus, queries, codes, pid, pvalid = make_workload(rng)
+    enc = get_encoder("siren", DIM, [256, 256])
+    hashing = get_hashing("MultivariateBernoulli", enc, 12)
+    params = hashing.init(jax.random.PRNGKey(0))
+    for dtype in (jnp.bfloat16,):
+        idx = Indexer(hashing, params, corpus, metric="cosine",
+                      serving_dtype=dtype)
+        cap = 1 << int(np.ceil(np.log2(1.2 * N_CORPUS / 4096)))
+        for engine in ("pallas-grouped", "pallas"):
+            idx.engine = engine
+            idx.probe_budget = cap
+            idx._layout = None
+            key = jax.random.PRNGKey(1)
+            top, ncand = idx.query(queries, k=K, hash_times=N_PROBES,
+                                   key=key, probe_mode="flip")
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                top, ncand = idx.query(queries, k=K, hash_times=N_PROBES,
+                                       key=key, probe_mode="flip")
+                times.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "mode": "indexer", "engine": engine,
+                "dtype": "bf16" if dtype == jnp.bfloat16 else "f32",
+                "cap": cap, "qps": round(N_QUERIES / min(times), 1),
+                "ms": round(min(times) * 1e3, 1),
+                "mean_cand": round(float(ncand.mean()), 1),
+            }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "indexer" in sys.argv[1:]:
+        indexer_mode()
+    else:
+        main()

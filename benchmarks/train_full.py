@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Full-scale training run on the bench workload (round-2 VERDICT #8).
+
+bench.py's 1000-step/131k-subset fit measures the serving path; this
+script demonstrates the TRAINING axis at reference scale: a long
+triplet fit on a 512k subset of the 1.18M-corpus workload with
+periodic full-corpus evals, logging loss/recall curves to a committed
+JSONL artifact, then a final serving-grade measurement.
+
+Reference anchor: the 100-epoch loop at ``nlsh/trainers/base.py:36-115``.
+
+Usage:  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/train_full.py
+Writes: benchmarks/artifacts/train_full_glove100.jsonl (loss/recall curves)
+        /tmp/nlsh_full_model.* (the trained model, reusable by frontier.py)
+Prints: one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRAIN_SUBSET = 524_288
+MAX_STEPS = 6000
+EVAL_EVERY = 1000
+BATCH = 2048
+HASH_TIMES = 16
+SEED = 0
+
+
+class _Data:
+    def __init__(self, training, testing, ground_truth, train_knn, metric):
+        self.training = training
+        self.testing = testing
+        self.ground_truth = ground_truth
+        self.training_self_knn = train_knn
+        self.metric = metric
+        self.prepared = True
+        self.dim = training.shape[1]
+
+    def load(self):
+        return self
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from nlsh_tpu.index import Indexer
+    from nlsh_tpu.models import get_encoder, get_hashing
+    from nlsh_tpu.ops.knn import knn, self_knn
+    from nlsh_tpu.train import TripletTrainer
+    from nlsh_tpu.utils import checkpoint as ckpt
+    from nlsh_tpu.utils.loggers import JSONLLogger
+    from nlsh_tpu.utils.metrics import calculate_recall
+
+    t_start = time.perf_counter()
+    rng = np.random.default_rng(SEED)
+    corpus_np, queries_np = bench.glove100_workload(rng)
+    corpus = jnp.asarray(corpus_np)
+    queries = jnp.asarray(queries_np)
+
+    t0 = time.perf_counter()
+    _, gt = knn(queries, corpus, k=bench.K, metric="cosine",
+                query_tile=1024, corpus_chunk=131_072)
+    gt = np.asarray(jax.block_until_ready(gt))
+    gt_s = time.perf_counter() - t0
+
+    sub_idx = rng.choice(bench.N_CORPUS, TRAIN_SUBSET, replace=False)
+    subset = corpus_np[sub_idx]
+    t0 = time.perf_counter()
+    sub_knn = np.asarray(self_knn(jnp.asarray(subset), k=20, metric="cosine",
+                                  query_tile=1024, corpus_chunk=131_072))
+    knn_s = time.perf_counter() - t0
+    print(f"# gt {gt_s:.0f}s, subset self-knn {knn_s:.0f}s", file=sys.stderr,
+          flush=True)
+
+    # during-training evals index the training subset, so their GT must
+    # be vs the SUBSET corpus (a consistent recall curve); the final
+    # measurement below uses the full-corpus GT.  XLA eval engine skips
+    # the per-eval serving-layout rebuild (layout only matters for QPS).
+    _, sub_gt = knn(jnp.asarray(queries_np[:2000]), jnp.asarray(subset),
+                    k=bench.K, metric="cosine",
+                    query_tile=1024, corpus_chunk=131_072)
+    sub_gt = np.asarray(sub_gt)
+    data = _Data(subset, queries_np[:2000], sub_gt, sub_knn, "cosine")
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts")
+    logger = JSONLLogger(os.path.join(art_dir, "train_full_glove100.jsonl"),
+                         run_name="train_full_glove100")
+    logger.meta({"corpus": bench.N_CORPUS, "train_subset": TRAIN_SUBSET,
+                 "max_steps": MAX_STEPS, "batch": BATCH,
+                 "hash_times": HASH_TIMES, "probe_mode": "flip",
+                 "balance_lambda": 1.5})
+
+    enc = get_encoder("siren", bench.DIM, [256, 256])
+    hashing = get_hashing("MultivariateBernoulli", enc, bench.HASH_SIZE)
+    trainer = TripletTrainer(hashing, data, "/tmp", logger=logger,
+                             margin=0.5, positive_k=20, balance_lambda=1.5)
+    trainer.eval_engine = "xla"
+
+    t0 = time.perf_counter()
+    state = trainer.fit(K=bench.K, batch_size=BATCH, learning_rate=1e-3,
+                        epochs=1000, test_every_updates=EVAL_EVERY,
+                        max_steps=MAX_STEPS, hash_times=HASH_TIMES,
+                        probe_mode="flip", seed=SEED)
+    train_s = time.perf_counter() - t0
+    params = state.params["hashing"]
+    ckpt.save_model("/tmp/nlsh_full_model", hashing, params)
+
+    # final serving-grade measurement on the FULL corpus
+    t0 = time.perf_counter()
+    indexer = Indexer(hashing, params, corpus, metric="cosine",
+                      engine="pallas-grouped", serving_dtype=jnp.bfloat16)
+    mean_bucket = bench.N_CORPUS / hashing.n_buckets
+    cap = 1 << int(np.ceil(np.log2(1.2 * mean_bucket)))
+    indexer.probe_budget = int(cap)
+    jax.block_until_ready(indexer.table.row_ids)
+    build_s = time.perf_counter() - t0
+    qkey = jax.random.PRNGKey(SEED + 1)
+    top, n_cand = indexer.query(queries, k=bench.K, hash_times=HASH_TIMES,
+                                key=qkey, probe_mode="flip")
+    t0 = time.perf_counter()
+    top, n_cand = indexer.query(queries, k=bench.K, hash_times=HASH_TIMES,
+                                key=qkey, probe_mode="flip")
+    query_s = time.perf_counter() - t0
+    recall = float(calculate_recall(gt, top, np.mean))
+    logger.log("final/recall", recall, int(state.step))
+    logger.log("final/query_size", float(np.mean(n_cand)), int(state.step))
+    logger.log("final/qps", queries.shape[0] / query_s, int(state.step))
+    logger.close()
+
+    print(json.dumps({
+        "run": "train_full_glove100",
+        "steps": int(state.step),
+        "train_s": round(train_s, 1),
+        "final_recall_at_10": round(recall, 4),
+        "final_query_size": round(float(np.mean(n_cand)), 1),
+        "final_qps": round(queries.shape[0] / query_s, 1),
+        "build_s": round(build_s, 1),
+        "total_s": round(time.perf_counter() - t_start, 1),
+        "artifact": "benchmarks/artifacts/train_full_glove100.jsonl",
+        "model": "/tmp/nlsh_full_model",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,17 +42,41 @@ def nlsh_eval_argparse() -> argparse.ArgumentParser:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--max_probes", type=int, default=100)
     p.add_argument("--engine", default="auto",
-                   choices=("auto", "xla", "pallas"))
+                   choices=("auto", "xla", "pallas", "pallas-grouped"))
+    p.add_argument("--probe_mode", default="sample",
+                   choices=("sample", "flip"))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json_out", type=str, default=None,
                    help="also write the sweep as JSON lines")
     return p
 
 
-def sample_probe_codes(hashing, params, queries, max_probes: int, key):
+def sample_probe_codes(hashing, params, queries, max_probes: int, key,
+                       probe_mode: str = "sample"):
     """Draw the full probe-code batch once: ``(nq, max_probes)`` packed
     int32, probe 0 the deterministic hard code (reference
-    ``sample_and_collect``, eval.py:65-83)."""
+    ``sample_and_collect``, eval.py:65-83).
+
+    ``probe_mode="flip"`` enumerates least-confident-bit flips instead
+    (deterministic best-first; probes are nested prefixes by
+    construction, so the sweep's prefix masking applies unchanged).
+    """
+    if probe_mode == "flip":
+        import numpy as _np
+
+        p = hashing.probs(params, queries)
+        bits = hashing.hash_size
+        n_flip = min(max(int(_np.ceil(_np.log2(max_probes))), 1), bits)
+        base = packing.pack_bits((p > 0.5).astype(jnp.int32))
+        conf = jnp.abs(p - 0.5)
+        _, flip_pos = jax.lax.top_k(-conf, n_flip)
+        weights = (1 << (bits - 1 - flip_pos)).astype(jnp.int32)
+        masks = jnp.arange(max_probes, dtype=jnp.int32)
+        take = ((masks[None, :, None] >> jnp.arange(n_flip)) & 1).astype(
+            jnp.int32
+        )
+        xor = jnp.sum(take * weights[:, None, :], axis=-1)
+        return jnp.bitwise_xor(base[:, None], xor)
     p = hashing.probs(params, queries)
     hard = (p > 0.5).astype(jnp.int32)[:, None, :]
     sampled = jax.random.bernoulli(
@@ -80,32 +104,42 @@ def _sweep_step(table, corpus, queries, raw_codes, n, k, probe_budget, metric,
 
 def run_sweep(hashing, params, corpus, queries, ground_truth, k,
               max_probes=100, metric="cosine", seed=0, probe_budget=None,
-              engine="auto"):
+              engine="auto", probe_mode="sample", serving_dtype=None):
     """Returns a list of dicts {n_probes, avg_n_candidates, recall}."""
     codes = hash_corpus(hashing, params, corpus)
     table = build_bucket_table(codes, hashing.n_buckets)
     if probe_budget is None:
         probe_budget = max(int(table.max_count()), 1)
     raw = sample_probe_codes(
-        hashing, params, queries, max_probes, jax.random.PRNGKey(seed)
+        hashing, params, queries, max_probes, jax.random.PRNGKey(seed),
+        probe_mode=probe_mode,
     )
 
-    use_pallas = engine == "pallas" or (
+    use_pallas = engine in ("pallas", "pallas-grouped") or (
         engine == "auto"
         and jax.default_backend() == "tpu"
         and metric in ("cosine", "euclidean", "sq_euclidean")
     )
     if use_pallas:
-        from nlsh_tpu.index.serving import serving_query
-        from nlsh_tpu.ops.pallas.query_kernel import serving_layout
+        from nlsh_tpu.index.serving import (
+            serving_query, serving_query_grouped,
+        )
+        from nlsh_tpu.ops.pallas.query_kernel import (
+            serving_layout, serving_layout_host,
+        )
 
-        layout = serving_layout(table, corpus, metric=metric, cap=probe_budget)
+        build = (serving_layout_host
+                 if corpus.shape[0] >= 2_000_000 else serving_layout)
+        layout = build(table, corpus, metric=metric, cap=probe_budget,
+                       dtype=serving_dtype or jnp.float32)
+        serve = (serving_query_grouped if engine == "pallas-grouped"
+                 else serving_query)
 
         def step(n):
             live = jnp.arange(max_probes)[None, :] < n
             ids = jnp.where(live, raw, raw[:, :1])
             probe_ids, probe_valid = packing.dedupe_codes(ids)
-            topk, _, n_cand = serving_query(
+            topk, _, n_cand = serve(
                 layout, queries, probe_ids, probe_valid, table.counts, k=k
             )
             return topk, n_cand
@@ -148,7 +182,7 @@ def main(argv: list[str] | None = None):
         jnp.asarray(data.training), jnp.asarray(data.testing),
         np.asarray(data.ground_truth), args.k,
         max_probes=args.max_probes, metric=data.metric, seed=args.seed,
-        engine=args.engine,
+        engine=args.engine, probe_mode=args.probe_mode,
     )
     for r in results:
         print(r["avg_n_candidates"], r["recall"])

@@ -37,6 +37,29 @@ def hash_corpus(hashing, params, corpus: Array, chunk: int = 65536) -> Array:
     return codes.reshape(-1)[:n]
 
 
+@partial(jax.jit, static_argnames=("hashing", "k", "hash_times",
+                                   "probe_mode", "grouped"))
+def _fused_serve(hashing, params, layout, full_counts, queries, key,
+                 k: int, hash_times: int, probe_mode: str, grouped: bool):
+    """Hash + probe + serve in ONE compiled program returning ONE packed
+    array ``(nq, k+1)`` of ``[topk_ids, n_candidates]``.
+
+    Through this environment's relay every dispatch and every host
+    fetch costs tens of ms; the unfused path (hash dispatch, serve
+    dispatch, two result fetches) pays that 4x per query batch.
+    """
+    from nlsh_tpu.index.serving import serving_query, serving_query_grouped
+
+    probe_ids, probe_valid = hashing.hash(
+        params, queries, n_probes=hash_times, key=key, probe_mode=probe_mode
+    )
+    serve = serving_query_grouped if grouped else serving_query
+    ids, _, n_cand = serve(
+        layout, queries, probe_ids, probe_valid, full_counts, k=k
+    )
+    return jnp.concatenate([ids, n_cand[:, None]], axis=1)
+
+
 class Indexer:
     """Build-once, query-many inverted-list index.
 
@@ -128,26 +151,24 @@ class Indexer:
         """
         if key is None:
             key = jax.random.PRNGKey(0)
+        engine = self.engine
+        if engine == "auto":
+            engine = "pallas-grouped" if jax.default_backend() == "tpu" \
+                else "xla"
+        if engine != "xla" and self.metric in (
+            "cosine", "euclidean", "sq_euclidean"
+        ):
+            packed = _fused_serve(
+                self.hashing, self.params, self.layout, self.table.counts,
+                queries, key, k=k, hash_times=hash_times,
+                probe_mode=probe_mode, grouped=engine == "pallas-grouped",
+            )
+            packed = np.asarray(packed)  # ONE host fetch
+            return packed[:, :k], packed[:, k]
         probe_ids, probe_valid = self.hashing.hash(
             self.params, queries, n_probes=hash_times, key=key,
             probe_mode=probe_mode,
         )
-        engine = self.engine
-        if engine == "auto":
-            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if engine != "xla" and self.metric in (
-            "cosine", "euclidean", "sq_euclidean"
-        ):
-            if engine == "pallas-grouped":
-                from nlsh_tpu.index.serving import serving_query_grouped as sq
-            else:
-                from nlsh_tpu.index.serving import serving_query as sq
-
-            ids, _, n_cand = sq(
-                self.layout, queries, probe_ids, probe_valid,
-                self.table.counts, k=k,
-            )
-            return np.asarray(ids), np.asarray(n_cand)
         if query_chunk is None:
             query_chunk = default_query_chunk(
                 hash_times, self.probe_budget, queries.shape[1]

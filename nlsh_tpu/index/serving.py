@@ -196,19 +196,35 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
             max_blocks=max_blocks, group_q=group_q,
         )
     )
-    scores = _grouped_scores_v3(layout.data, grp_qvecs, grp_block,
-                                interpret=interpret)  # (g_total, G, BR)
-    if layout.norms is not None:  # euclidean: score = 2q.c - ||c||^2
-        scores = scores - layout.norms.reshape(-1, BLOCK_ROWS)[
-            grp_block][:, None, :]
-    lane = jnp.arange(BLOCK_ROWS, dtype=jnp.int32)
-    scores = jnp.where(lane[None, None, :] < grp_cnt[:, :, None],
-                       scores, -jnp.inf)
+    from nlsh_tpu.ops.pallas.query_kernel import (
+        ROW_TOPK, _grouped_scores_topk,
+    )
 
-    # per-score-row top-k first (dense, cheap), then regroup per query
-    flat = scores.reshape(g_total * group_q, BLOCK_ROWS)
-    row_top, row_lane = jax.lax.top_k(flat, min(k, BLOCK_ROWS))
-    kk = row_top.shape[1]
+    if k <= ROW_TOPK:
+        # fused kernel: scores never leave VMEM at full width — the
+        # per-row top-k (occupancy-masked, norm-biased) happens on the
+        # VPU and only (G, ROW_TOPK) panels are written
+        row_top3, row_lane3 = _grouped_scores_topk(
+            layout.data, layout.norms, grp_qvecs, grp_block, grp_cnt,
+            has_norms=layout.norms is not None, interpret=interpret,
+        )
+        kk = ROW_TOPK
+        row_top = row_top3.reshape(g_total * group_q, kk)
+        row_lane = row_lane3.reshape(g_total * group_q, kk)
+    else:
+        scores = _grouped_scores_v3(layout.data, grp_qvecs, grp_block,
+                                    interpret=interpret)  # (g, G, BR)
+        if layout.norms is not None:  # euclidean: score = 2q.c - ||c||^2
+            scores = scores - layout.norms.reshape(-1, BLOCK_ROWS)[
+                grp_block][:, None, :]
+        lane = jnp.arange(BLOCK_ROWS, dtype=jnp.int32)
+        scores = jnp.where(lane[None, None, :] < grp_cnt[:, :, None],
+                           scores, -jnp.inf)
+
+        # per-score-row top-k first (dense), then regroup per query
+        flat = scores.reshape(g_total * group_q, BLOCK_ROWS)
+        row_top, row_lane = jax.lax.top_k(flat, min(k, BLOCK_ROWS))
+        kk = row_top.shape[1]
 
     nq, n_probes = probe_ids.shape
     ev_row3 = ev_row.reshape(nq, n_probes * max_blocks)
@@ -268,7 +284,7 @@ def serving_query_grouped(
     if interpret is None:
         interpret = _jax.default_backend() != "tpu"
     if group_q is None:
-        group_q = int(os.environ.get("NLSH_GROUP_Q", 64))
+        group_q = int(os.environ.get("NLSH_GROUP_Q", 32))
     nq = queries.shape[0]
     max_blocks = layout.cap // BLOCK_ROWS
     out_ids, out_scores, out_cand = [], [], []

@@ -830,6 +830,109 @@ def _grouped_scores_v3(data, grp_qvecs, grp_block, interpret: bool):
     )(grp_block, grp_qvecs, *([data] * eb))
 
 
+ROW_TOPK = 16  # per-(group, slot) top-k width of the fused kernel
+
+
+def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
+    """v3 kernel + fused per-row top-k: emits ``(G, kk)`` best scores
+    and lane indices per group instead of the raw ``(G, BLOCK_ROWS)``
+    score panel — 4x less output traffic and no XLA ``top_k`` pass over
+    g*G*BLOCK_ROWS scores afterwards.  Occupancy masking and the
+    euclidean ``-||c||^2`` bias fold in before selection."""
+
+    def kernel(grpblk_ref, qgrp_ref, cnt_ref, *refs):
+        out_s_ref = refs[-2]
+        out_l_ref = refs[-1]
+        corpus_refs = refs[: eb]
+        norms_refs = refs[eb: 2 * eb] if has_norms else None
+        br = corpus_refs[0].shape[0]
+        for j in range(eb):
+            s = jax.lax.dot_general(
+                qgrp_ref[j], corpus_refs[j][...].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, BR)
+            if has_norms:
+                s = s - norms_refs[j][...]
+            g = s.shape[0]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (g, br), 1)
+            s = jnp.where(lane < cnt_ref[j][:, None], s, -jnp.inf)
+            cols_s, cols_l = [], []
+            for _ in range(kk):  # iterative max: kk cheap VPU passes
+                m = jnp.max(s, axis=1, keepdims=True)  # (G, 1)
+                idx = jnp.min(
+                    jnp.where(s == m, lane, jnp.int32(br)),
+                    axis=1, keepdims=True,
+                )
+                cols_s.append(m[:, 0])
+                cols_l.append(jnp.minimum(idx[:, 0], br - 1))
+                s = jnp.where(lane == idx, -jnp.inf, s)
+            out_s_ref[j] = jnp.stack(cols_s, axis=1)  # (G, kk)
+            out_l_ref[j] = jnp.stack(cols_l, axis=1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("has_norms", "interpret"))
+def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
+                         has_norms: bool, interpret: bool):
+    """Fused score + per-row top-ROW_TOPK.  Returns
+    ``(row_top (g_total, G, kk), row_lane (g_total, G, kk))``."""
+    g_total, G, d_pad = grp_qvecs.shape
+    eb = _GROUP_EB
+    kk = ROW_TOPK
+    assert g_total % eb == 0
+
+    def corpus_spec(j):
+        return pl.BlockSpec(
+            (BLOCK_ROWS, d_pad),
+            lambda i, blk, j=j: (blk[i * eb + j], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def norms_spec(j):
+        return pl.BlockSpec(
+            (1, BLOCK_ROWS),
+            lambda i, blk, j=j: (blk[i * eb + j], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        pl.BlockSpec((eb, G, d_pad), lambda i, blk: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, G), lambda i, blk: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [corpus_spec(j) for j in range(eb)]
+    operands = [grp_qvecs, grp_cnt] + [data] * eb
+    if has_norms:
+        in_specs += [norms_spec(j) for j in range(eb)]
+        operands += [norms.reshape(-1, BLOCK_ROWS)] * eb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g_total // eb,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((eb, G, kk), lambda i, blk: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, G, kk), lambda i, blk: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        _make_grouped_topk_kernel(eb, kk, has_norms),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((g_total, G, kk), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, G, kk), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(grp_block, *operands)
+
+
 def grouped_static_bound(n_events: int, max_blocks: int, total_blocks: int,
                          group_q: int) -> int:
     """Static upper bound on the group count for ANY probe batch of

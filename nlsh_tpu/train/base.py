@@ -66,6 +66,12 @@ class Trainer(abc.ABC):
     """Template-method trainer (reference ``Trainer`` ABC,
     ``trainers/base.py:11-34``)."""
 
+    #: engine for the periodic in-training eval ("auto" = Pallas on
+    #: TPU).  Long runs with frequent evals can set "xla" to skip the
+    #: serving-layout rebuild (a full corpus permutation) every eval —
+    #: the layout only matters for serving QPS, not recall.
+    eval_engine = "auto"
+
     def __init__(self, hashing, data, model_save_dir="/tmp", logger=None):
         self.hashing = hashing
         self.data = data
@@ -160,7 +166,8 @@ class Trainer(abc.ABC):
         """Index rebuild + validation/train-probe query + logging
         (reference ``base.py:80-115``).  Returns (recall, query_size)."""
         indexer = Indexer(
-            self.hashing, params["hashing"], corpus, metric=self.data.metric
+            self.hashing, params["hashing"], corpus, metric=self.data.metric,
+            engine=self.eval_engine,
         )
         # Round the probe budget up to a power of two so the query kernel
         # compiles O(log) variants across evals, not one per rebuild.
