@@ -68,20 +68,29 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None):
     return state, time.perf_counter() - t0
 
 
-def _measure(query_fn, queries, gt, n_warm=1, n_runs=3):
+def _measure(idx, async_fn, queries, gt, n_runs=2, pipeline=4):
+    """Pipelined throughput: R back-to-back ``query_async`` dispatches
+    with all fetches at the END of the timed region (the relay's per-
+    dispatch cost overlaps device execution; per-call-fetch timing is
+    reported alongside as the floor estimate)."""
     from nlsh_tpu.utils.metrics import calculate_recall
 
-    for _ in range(n_warm):
-        top, n_cand = query_fn(queries)
-    times = []
+    top, n_cand = idx.fetch(async_fn(queries))  # compile + warm
+    times, times1 = [], []
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        top, n_cand = query_fn(queries)
-        times.append(time.perf_counter() - t0)
+        outs = [async_fn(queries) for _ in range(pipeline)]
+        for o in outs:
+            idx.fetch(o)
+        times.append((time.perf_counter() - t0) / pipeline)
+        t0 = time.perf_counter()
+        top, n_cand = idx.fetch(async_fn(queries))
+        times1.append(time.perf_counter() - t0)
     return {
         "recall_at_10": round(float(calculate_recall(gt[:, :10], top, np.mean)), 4),
         "query_size": round(float(np.mean(n_cand)), 1),
         "qps": round(queries.shape[0] / min(times), 1),
+        "qps_unpipelined": round(queries.shape[0] / min(times1), 1),
     }
 
 
@@ -101,7 +110,9 @@ def config_1():
                   jnp.asarray(data.training), metric=data.metric)
     build_s = time.perf_counter() - t0
     m = _measure(
-        lambda q: idx.query(q, k=10, hash_times=10, key=jax.random.PRNGKey(1)),
+        idx,
+        lambda q: idx.query_async(q, k=10, hash_times=10,
+                                  key=jax.random.PRNGKey(1)),
         jnp.asarray(data.testing), np.asarray(data.ground_truth),
     )
     return {"config": "1_glove25_100k", "train_s": round(train_s, 1),
@@ -149,7 +160,9 @@ def config_2():
                   serving_dtype=jnp.bfloat16, engine="pallas-grouped")
     build_s = time.perf_counter() - t0
     m = _measure(
-        lambda q: idx.query(q, k=10, hash_times=10, key=jax.random.PRNGKey(1)),
+        idx,
+        lambda q: idx.query_async(q, k=10, hash_times=10,
+                                  key=jax.random.PRNGKey(1)),
         jnp.asarray(data.testing), np.asarray(data.ground_truth),
     )
     return {"config": "2_sift_1M", "train_s": round(train_s, 1),
@@ -187,7 +200,8 @@ def config_4(n_train=200_000):
                             serving_dtype=jnp.bfloat16)
     build_s = time.perf_counter() - t0
     m = _measure(
-        lambda q: idx.query(q, k=10, hash_times=1),
+        idx,
+        lambda q: idx.query_async(q, k=10, hash_times=1),
         jnp.asarray(data.testing), np.asarray(data.ground_truth),
     )
     return {"config": "4_multitable_L8", "train_s": round(train_s, 1),
@@ -228,7 +242,36 @@ def config_5(n_corpus=None):
     hashing = get_hashing(
         "MultivariateBernoulli", get_encoder("siren", dim, [256, 256]), 14
     )
-    params = hashing.init(jax.random.PRNGKey(0))
+    # short balance-regularised fit on a subset: an untrained hash on
+    # clustered data is so skewed (max bucket ~300x mean) that the
+    # cap-aligned serving layout and probe budget explode
+    from nlsh_tpu.ops.knn import self_knn
+
+    _log("subset fit")
+    sub = rng.choice(n_corpus, 131_072, replace=False)
+    subset = corpus[sub]
+    sub_knn = np.asarray(self_knn(jnp.asarray(subset), k=20, metric="cosine"))
+    d0 = dim
+
+    class _Sub:
+        training = subset
+        testing = np.asarray(queries[:256])
+        ground_truth = gt[:256]
+        training_self_knn = sub_knn
+        metric = "cosine"
+        prepared = True
+        dim = d0
+
+        def load(self):
+            return self
+
+    from nlsh_tpu.train import TripletTrainer
+
+    tr = TripletTrainer(hashing, _Sub(), "/tmp/nlsh_bench_models",
+                        margin=0.5, positive_k=20, balance_lambda=1.5)
+    state = tr.fit(K=10, batch_size=2048, learning_rate=1e-3, epochs=100,
+                   test_every_updates=10**9, max_steps=400, hash_times=10)
+    params = state.params["hashing"]
 
     mesh = make_mesh(axis="shard")
     _log(f"sharding over {mesh.devices.size} device(s)")
@@ -241,7 +284,10 @@ def config_5(n_corpus=None):
                          serving_dtype=jnp.bfloat16)
     build_s = time.perf_counter() - t0
     m = _measure(
-        lambda q: idx.query(q, k=10, hash_times=10, key=jax.random.PRNGKey(1)),
+        idx,
+        lambda q: idx.query_async(q, k=10, hash_times=16,
+                                  key=jax.random.PRNGKey(1),
+                                  probe_mode="flip"),
         queries, gt,
     )
     return {"config": "5_deepimage96_10M_sharded",

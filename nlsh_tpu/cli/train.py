@@ -44,7 +44,7 @@ def nlsh_argparse() -> argparse.ArgumentParser:
                    choices=("siren", "mlp"))
     p.add_argument("-ht", "--hashing_type", default="MultivariateBernoulli",
                    choices=("MultivariateBernoulli", "MultivariateBernoulliTanh",
-                            "Categorical"))
+                            "Categorical", "ProductQuantization"))
     p.add_argument("-dt", "--distance_type", default="L2",
                    choices=("L2", "JS", "KL", "MeanKL", "CrossEntropy", "Cosine"))
     p.add_argument("--data_id", required=True)
@@ -95,6 +95,13 @@ def get_hashing_from_args(args, enc):
         dist = get_code_distance("CategoricalL2" if dt == "L2" else "JS")
         # reference used 2**hash_size buckets for Categorical (main.py:81)
         return get_hashing("Categorical", enc, int(2 ** args.hash_size), dist)
+    if ht == "ProductQuantization":
+        # the reference stubbed this class empty (hashings.py:142-145);
+        # here hash_size total bits split into bands, softmax per band
+        if dt not in ("L2", "JS"):
+            raise RuntimeError(f"{dt} is not valid for {ht}")
+        dist = get_code_distance("CategoricalL2" if dt == "L2" else "JS")
+        return get_hashing("ProductQuantization", enc, args.hash_size, dist)
     if ht == "MultivariateBernoulli":
         if dt not in ("L2", "KL", "MeanKL", "CrossEntropy"):
             raise RuntimeError(f"{dt} is not valid for {ht}")

@@ -135,7 +135,7 @@ class Indexer:
     def occupancy_std(self) -> float:
         return float(self.table.occupancy_std())
 
-    def query(
+    def query_async(
         self,
         queries: Array,
         k: int = 10,
@@ -143,12 +143,11 @@ class Indexer:
         key: Array | None = None,
         query_chunk: int | None = None,
         probe_mode: str = "sample",
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Multi-probe query (reference ``Indexer.query``,
-        ``indexer.py:56-96``; defaults k=10, hash_times=10 match).
-
-        Returns ``(topk_ids (nq, k), n_candidates (nq,))`` as numpy.
-        """
+    ):
+        """Dispatch a multi-probe query WITHOUT fetching the result to
+        host: returns device array(s) to pass to :meth:`fetch`.  Lets a
+        serving loop pipeline batches — the next dispatch overlaps the
+        previous batch's device execution and transfer."""
         if key is None:
             key = jax.random.PRNGKey(0)
         engine = self.engine
@@ -158,13 +157,11 @@ class Indexer:
         if engine != "xla" and self.metric in (
             "cosine", "euclidean", "sq_euclidean"
         ):
-            packed = _fused_serve(
+            return _fused_serve(
                 self.hashing, self.params, self.layout, self.table.counts,
                 queries, key, k=k, hash_times=hash_times,
                 probe_mode=probe_mode, grouped=engine == "pallas-grouped",
             )
-            packed = np.asarray(packed)  # ONE host fetch
-            return packed[:, :k], packed[:, k]
         probe_ids, probe_valid = self.hashing.hash(
             self.params, queries, n_probes=hash_times, key=key,
             probe_mode=probe_mode,
@@ -184,4 +181,33 @@ class Indexer:
             metric=self.metric,
             query_chunk=query_chunk,
         )
-        return np.asarray(topk_ids), np.asarray(n_cand)
+        return topk_ids, n_cand
+
+    @staticmethod
+    def fetch(result) -> tuple[np.ndarray, np.ndarray]:
+        """Fetch a :meth:`query_async` result to host:
+        ``(topk_ids (nq, k), n_candidates (nq,))`` numpy arrays."""
+        if isinstance(result, tuple):
+            ids, n_cand = result
+            return np.asarray(ids), np.asarray(n_cand)
+        packed = np.asarray(result)  # ONE host fetch of (nq, k+1)
+        return packed[:, :-1], packed[:, -1]
+
+    def query(
+        self,
+        queries: Array,
+        k: int = 10,
+        hash_times: int = 10,
+        key: Array | None = None,
+        query_chunk: int | None = None,
+        probe_mode: str = "sample",
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Multi-probe query (reference ``Indexer.query``,
+        ``indexer.py:56-96``; defaults k=10, hash_times=10 match).
+
+        Returns ``(topk_ids (nq, k), n_candidates (nq,))`` as numpy.
+        """
+        return self.fetch(self.query_async(
+            queries, k=k, hash_times=hash_times, key=key,
+            query_chunk=query_chunk, probe_mode=probe_mode,
+        ))

@@ -853,7 +853,7 @@ def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
                 preferred_element_type=jnp.float32,
             )  # (G, BR)
             if has_norms:
-                s = s - norms_refs[j][...]
+                s = s - norms_refs[j][0]
             g = s.shape[0]
             lane = jax.lax.broadcasted_iota(jnp.int32, (g, br), 1)
             s = jnp.where(lane < cnt_ref[j][:, None], s, -jnp.inf)
@@ -891,9 +891,13 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
         )
 
     def norms_spec(j):
+        # norms ride as (total_blocks, 1, BLOCK_ROWS): Mosaic requires
+        # the second-to-last block dim divisible by 8 OR equal to the
+        # array dim — a size-1 middle axis satisfies the latter, which
+        # a (1, BLOCK_ROWS) block on a 2-D array does not
         return pl.BlockSpec(
-            (1, BLOCK_ROWS),
-            lambda i, blk, j=j: (blk[i * eb + j], 0),
+            (1, 1, BLOCK_ROWS),
+            lambda i, blk, j=j: (blk[i * eb + j], 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -906,7 +910,7 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
     operands = [grp_qvecs, grp_cnt] + [data] * eb
     if has_norms:
         in_specs += [norms_spec(j) for j in range(eb)]
-        operands += [norms.reshape(-1, BLOCK_ROWS)] * eb
+        operands += [norms.reshape(-1, 1, BLOCK_ROWS)] * eb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

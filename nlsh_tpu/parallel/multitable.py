@@ -373,7 +373,7 @@ class MultiTableIndexer:
             layout, queries, gp, gv, layout.counts, k=k_fetch
         )
         merged, _ = self._dedupe_topk(ids, scores, k, self.corpus.shape[0])
-        return np.asarray(merged), np.asarray(n_cand)
+        return merged, n_cand
 
     def _query_serving_sharded(self, queries, pids, pvalid, k: int,
                                engine: str):
@@ -441,18 +441,14 @@ class MultiTableIndexer:
         merged, _, n_cand = q(
             data, row_map, astarts, norms, self.counts, queries, pids, pvalid
         )
-        return np.asarray(merged), np.asarray(n_cand)
+        return merged, n_cand
 
-    def query(self, queries, k: int = 10, hash_times: int = 1, key=None):
-        """Query the ensemble.  ``hash_times=1`` (hard probe per table)
-        is the typical multi-table operating point — the ensemble
-        provides the recall that multi-probe provides a single table.
-
-        Returns ``(topk_ids (nq, k), n_candidates (nq,))`` —
-        ``n_candidates`` is the exact distinct-candidate count on the
-        XLA engine and the summed per-table occupancy (upper bound) on
-        the Pallas engine.
-        """
+    def query_async(self, queries, k: int = 10, hash_times: int = 1,
+                    key=None):
+        """Dispatch an ensemble query without fetching (see
+        :meth:`fetch`); ``hash_times=1`` (hard probe per table) is the
+        typical multi-table operating point — the ensemble provides the
+        recall that multi-probe provides a single table."""
         if key is None:
             key = jax.random.PRNGKey(0)
         queries = jnp.asarray(queries)
@@ -486,4 +482,22 @@ class MultiTableIndexer:
         fn = self._query_fn(k, hash_times, chunk)
         top, _, nd = fn(self.row_ids, self.starts, self.counts, self.corpus,
                         queries, pids, pvalid)
-        return np.asarray(top), np.asarray(nd)
+        return top, nd
+
+    @staticmethod
+    def fetch(result) -> tuple[np.ndarray, np.ndarray]:
+        """Fetch a :meth:`query_async` result to host."""
+        ids, n_cand = result
+        return np.asarray(ids), np.asarray(n_cand)
+
+    def query(self, queries, k: int = 10, hash_times: int = 1, key=None):
+        """Query the ensemble (fetching variant of :meth:`query_async`).
+
+        Returns ``(topk_ids (nq, k), n_candidates (nq,))`` —
+        ``n_candidates`` is the exact distinct-candidate count on the
+        XLA engine and the summed per-table occupancy (upper bound) on
+        the Pallas engine.
+        """
+        return self.fetch(self.query_async(
+            queries, k=k, hash_times=hash_times, key=key,
+        ))

@@ -92,25 +92,37 @@ class ShardedIndexer:
         n_local = self.n_local
         n_real = self.n_real
 
-        @jax.jit
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=P(axis, None),
-            out_specs=(P(axis), P(axis, None), P(axis, None)),
-            check_vma=False,
-        )
-        def build_local(corpus_local):
-            shard = jax.lax.axis_index(axis)
-            codes = hashing.hash_hard(params, corpus_local)  # (n_local,)
-            gid = shard * n_local + jnp.arange(n_local, dtype=jnp.int32)
-            # padding rows get the out-of-range sentinel: dropped from
-            # counts by the scatter's mode='drop' and sorted last
-            codes = jnp.where(gid < n_real, codes, n_buckets)
-            t = build_bucket_table(codes, n_buckets)
-            return t.row_ids, t.starts[None, :], t.counts[None, :]
+        if n_dev == 1:
+            # degenerate mesh: shard_map adds nothing but compile cost —
+            # the remote compile helper takes minutes on the monolithic
+            # shard_map build at multi-million rows, while the chunked
+            # single-chip hash + one sort compile in seconds
+            from nlsh_tpu.index.indexer import hash_corpus
 
-        row_ids, starts, counts = build_local(self.corpus)
+            codes = hash_corpus(hashing, params, self.corpus)
+            t = build_bucket_table(codes, n_buckets)
+            row_ids = t.row_ids
+            starts, counts = t.starts[None, :], t.counts[None, :]
+        else:
+            @jax.jit
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=P(axis, None),
+                out_specs=(P(axis), P(axis, None), P(axis, None)),
+                check_vma=False,
+            )
+            def build_local(corpus_local):
+                shard = jax.lax.axis_index(axis)
+                codes = hashing.hash_hard(params, corpus_local)  # (n_local,)
+                gid = shard * n_local + jnp.arange(n_local, dtype=jnp.int32)
+                # padding rows get the out-of-range sentinel: dropped
+                # from counts by the scatter's mode='drop', sorted last
+                codes = jnp.where(gid < n_real, codes, n_buckets)
+                t = build_bucket_table(codes, n_buckets)
+                return t.row_ids, t.starts[None, :], t.counts[None, :]
+
+            row_ids, starts, counts = build_local(self.corpus)
         # global shapes: (n_padded,), (n_dev, n_buckets), (n_dev, n_buckets)
         self.row_ids, self.starts, self.counts = row_ids, starts, counts
         if probe_budget is None:
@@ -227,6 +239,26 @@ class ShardedIndexer:
         if not has_norms:  # shard_map needs an array operand regardless
             norms = jnp.zeros((data.shape[0], 0), jnp.float32)
 
+        if self.mesh.devices.size == 1:
+            # degenerate mesh: no merge to do, and the shard_map wrapper
+            # makes the remote compile pathological at multi-million
+            # rows — serve the single shard's layout directly
+            serve = (serving_query_grouped if engine == "pallas-grouped"
+                     else serving_query)
+
+            @jax.jit
+            def q1(data, row_map, astarts, norms, counts, qs, pids, pvalid):
+                layout = ServingLayout(
+                    data=data[0], row_map=row_map[0], starts=astarts[0],
+                    counts=counts[0], cap=cap, d_pad=d_pad, align=cap,
+                    metric=metric, norms=norms[0] if has_norms else None,
+                    total_blocks=total_blocks,
+                )
+                return serve(layout, qs, pids, pvalid, counts[0], k=k)
+
+            self._query_cache[cache_key] = q1
+            return q1
+
         @jax.jit
         @partial(
             shard_map,
@@ -307,11 +339,11 @@ class ShardedIndexer:
         self._query_cache[cache_key] = q
         return q
 
-    def query(self, queries, k: int = 10, hash_times: int = 10, key=None,
-              query_chunk: int | None = None, probe_mode: str = "sample"):
-        """Multi-probe query against all shards; returns
-        ``(topk_ids (nq, k), n_candidates (nq,))`` as numpy (global row
-        ids, merged across shards)."""
+    def query_async(self, queries, k: int = 10, hash_times: int = 10,
+                    key=None, query_chunk: int | None = None,
+                    probe_mode: str = "sample"):
+        """Dispatch a multi-probe query against all shards without
+        fetching; returns device arrays for :meth:`fetch`."""
         if key is None:
             key = jax.random.PRNGKey(0)
         queries = jnp.asarray(queries)
@@ -333,7 +365,7 @@ class ShardedIndexer:
                 data, row_map, astarts, norms, self.counts,
                 queries, probe_ids, probe_valid,
             )
-            return np.asarray(ids), np.asarray(ncand)
+            return ids, ncand
         if query_chunk is None:
             query_chunk = default_query_chunk(
                 hash_times, self.probe_budget, queries.shape[1]
@@ -343,4 +375,20 @@ class ShardedIndexer:
             self.row_ids, self.starts, self.counts, self.corpus,
             queries, probe_ids, probe_valid,
         )
-        return np.asarray(ids), np.asarray(ncand)
+        return ids, ncand
+
+    @staticmethod
+    def fetch(result) -> tuple[np.ndarray, np.ndarray]:
+        """Fetch a :meth:`query_async` result to host."""
+        ids, n_cand = result
+        return np.asarray(ids), np.asarray(n_cand)
+
+    def query(self, queries, k: int = 10, hash_times: int = 10, key=None,
+              query_chunk: int | None = None, probe_mode: str = "sample"):
+        """Multi-probe query against all shards; returns
+        ``(topk_ids (nq, k), n_candidates (nq,))`` as numpy (global row
+        ids, merged across shards)."""
+        return self.fetch(self.query_async(
+            queries, k=k, hash_times=hash_times, key=key,
+            query_chunk=query_chunk, probe_mode=probe_mode,
+        ))
