@@ -217,4 +217,24 @@ def get_data_by_id(data_id: str) -> Dataset:
     if family == "sift":
         path = get_env("NLSH_PROCESSED_SIFT_PATH")
         return SIFT(path, unit_norm="norm" in data_id)
+    if family in ("bigann", "deep"):
+        # the scale axis the reference stubs (BigANN1B/Deep1B,
+        # data.py:204-209): raw big-ann binary files, optional row
+        # bound as a suffix (``bigann_10M``, ``deep_100M``)
+        from nlsh_tpu.data.binformats import BigBinaryDataset
+
+        max_rows = None
+        if len(parts) > 1:
+            spec = parts[1].upper()
+            mult = {"K": 10**3, "M": 10**6, "B": 10**9}.get(spec[-1], 1)
+            max_rows = int(spec.rstrip("KMB") or 1) * mult
+        name = family.upper()
+        return BigBinaryDataset(
+            base_path=get_env(f"NLSH_{name}_BASE_PATH"),
+            query_path=get_env(f"NLSH_{name}_QUERY_PATH"),
+            gt_path=get_env(f"NLSH_{name}_GT_PATH", None),
+            max_rows=max_rows,
+            metric="euclidean",
+            unit_ball=family == "deep",
+        )
     raise ValueError(f"unknown data id {data_id!r}")

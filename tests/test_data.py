@@ -100,3 +100,96 @@ def test_norm_to_unit_sphere():
     x = np.array([[3.0, 4.0], [0.0, 2.0]])
     out = norm_to_unit_sphere(x)
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0)
+
+
+# -- big-ann binary formats (reference stubs BigANN1B/Deep1B, data.py:204-209)
+
+def test_bin_roundtrip_all_formats(tmp_path):
+    from nlsh_tpu.data.binformats import read_bin, read_bin_header, write_bin
+
+    rng = np.random.default_rng(0)
+    for suffix, gen in [
+        (".fbin", lambda: rng.normal(size=(37, 5)).astype(np.float32)),
+        (".u8bin", lambda: rng.integers(0, 255, (37, 5)).astype(np.uint8)),
+        (".i8bin", lambda: rng.integers(-127, 127, (37, 5)).astype(np.int8)),
+    ]:
+        arr = gen()
+        path = str(tmp_path / f"vecs{suffix}")
+        write_bin(path, arr)
+        assert read_bin_header(path) == (37, 5)
+        out = read_bin(path)
+        assert out.dtype == np.float32
+        np.testing.assert_array_equal(out, arr.astype(np.float32))
+
+
+def test_bin_slicing(tmp_path):
+    from nlsh_tpu.data.binformats import read_bin, write_bin
+
+    arr = np.arange(100, dtype=np.float32).reshape(20, 5)
+    path = str(tmp_path / "v.fbin")
+    write_bin(path, arr)
+    np.testing.assert_array_equal(read_bin(path, max_rows=4), arr[:4])
+    np.testing.assert_array_equal(
+        read_bin(path, max_rows=3, offset_rows=10), arr[10:13])
+    np.testing.assert_array_equal(read_bin(path, offset_rows=18), arr[18:])
+    with pytest.raises(ValueError):
+        read_bin(path, offset_rows=21)
+    with pytest.raises(ValueError):
+        read_bin(str(path) + ".weird")
+
+
+def test_gt_bin_roundtrip(tmp_path):
+    from nlsh_tpu.data.binformats import read_gt_bin, write_gt_bin
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 1000, (8, 10)).astype(np.int32)
+    dist = rng.normal(size=(8, 10)).astype(np.float32)
+    path = str(tmp_path / "gt.bin")
+    write_gt_bin(path, ids, dist)
+    ids2, dist2 = read_gt_bin(path)
+    np.testing.assert_array_equal(ids2, ids)
+    np.testing.assert_array_equal(dist2, dist)
+
+
+def test_big_binary_dataset(tmp_path):
+    from nlsh_tpu.data.binformats import (
+        BigBinaryDataset, write_bin, write_gt_bin,
+    )
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(64, 6)).astype(np.float32)
+    queries = rng.normal(size=(9, 6)).astype(np.float32)
+    gt = rng.integers(0, 64, (9, 5)).astype(np.int32)
+    bp, qp, gp = (str(tmp_path / n) for n in
+                  ("base.fbin", "q.fbin", "gt.bin"))
+    write_bin(bp, base)
+    write_bin(qp, queries)
+    write_gt_bin(gp, gt, np.zeros((9, 5), np.float32))
+
+    ds = BigBinaryDataset(bp, qp, gp, max_rows=50).load()
+    assert ds.dim == 6
+    assert ds.training.shape == (50, 6)
+    np.testing.assert_array_equal(ds.training, base[:50])
+    np.testing.assert_array_equal(ds.testing, queries)
+    np.testing.assert_array_equal(ds.ground_truth, gt)
+    with pytest.raises(ValueError):
+        _ = ds.training_self_knn
+
+    ds2 = BigBinaryDataset(bp, qp, gt_path=None).load()
+    with pytest.raises(ValueError):
+        _ = ds2.ground_truth
+
+
+def test_get_data_by_id_bigann(tmp_path, monkeypatch):
+    from nlsh_tpu.data.binformats import write_bin
+
+    rng = np.random.default_rng(3)
+    bp, qp = str(tmp_path / "b.u8bin"), str(tmp_path / "q.u8bin")
+    write_bin(bp, rng.integers(0, 255, (30, 4)).astype(np.uint8))
+    write_bin(qp, rng.integers(0, 255, (5, 4)).astype(np.uint8))
+    monkeypatch.setenv("NLSH_BIGANN_BASE_PATH", bp)
+    monkeypatch.setenv("NLSH_BIGANN_QUERY_PATH", qp)
+    ds = get_data_by_id("bigann_10K").load()
+    assert ds.metric == "euclidean"
+    assert ds.training.shape == (30, 4)  # max_rows bounds, file smaller
+    assert ds._max_rows == 10_000
