@@ -231,3 +231,24 @@ def test_indexer_host_layout_mode_matches_device():
         tops.append((top, n_cand))
     np.testing.assert_array_equal(tops[0][0], tops[1][0])
     np.testing.assert_array_equal(tops[0][1], tops[1][1])
+
+
+def test_query_async_fetch_matches_query():
+    """query_async + fetch must reproduce query() on both engines —
+    the pipelined serving path is the benchmarked path."""
+    rng = np.random.default_rng(5)
+    corpus = rng.normal(size=(512, 16)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    hashing = MultivariateBernoulli(MLPEncoder(16, (32,)), 5)
+    params = hashing.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+    queries = jnp.asarray(corpus[:32])
+
+    for engine in ("xla", "pallas", "pallas-grouped"):
+        idx = Indexer(hashing, params, jnp.asarray(corpus), metric="cosine",
+                      engine=engine)
+        t1, c1 = idx.query(queries, k=5, hash_times=4, key=key)
+        t2, c2 = idx.fetch(idx.query_async(queries, k=5, hash_times=4,
+                                           key=key))
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_array_equal(c1, c2)
