@@ -295,8 +295,37 @@ def config_5(n_corpus=None):
             "build_s": round(build_s, 2), **m}
 
 
+def config_pq(n_train=200_000):
+    """glove-100-shape 200k with the ProductQuantization head (12 bits
+    = 3 bands x 4 bits): the hashing family the reference declares but
+    leaves an empty stub (``nlsh/hashings.py:142-145``), trained and
+    served end-to-end (round-2 VERDICT #9)."""
+    import jax, jax.numpy as jnp
+    from nlsh_tpu.index import Indexer
+    from nlsh_tpu.models import get_encoder, get_hashing
+
+    data = _data("glove_100_pq", n_train, 2000, 100, "cosine")
+    hashing = get_hashing(
+        "ProductQuantization", get_encoder("siren", data.dim, [256, 256]), 12
+    )
+    state, train_s = _train(hashing, data, steps=400, batch_size=2048)
+    t0 = time.perf_counter()
+    idx = Indexer(hashing, state.params["hashing"],
+                  jnp.asarray(data.training), metric="cosine",
+                  serving_dtype=jnp.bfloat16, engine="pallas-grouped")
+    build_s = time.perf_counter() - t0
+    m = _measure(
+        idx,
+        lambda q: idx.query_async(q, k=10, hash_times=10,
+                                  key=jax.random.PRNGKey(1)),
+        jnp.asarray(data.testing), np.asarray(data.ground_truth),
+    )
+    return {"config": "pq_glove100_200k", "train_s": round(train_s, 1),
+            "build_s": round(build_s, 2), **m}
+
+
 CONFIGS = {"1": config_1, "2": config_2, "3": config_3, "4": config_4,
-           "5": config_5}
+           "5": config_5, "pq": config_pq}
 
 
 def main():

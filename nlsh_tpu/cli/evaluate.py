@@ -128,12 +128,15 @@ def run_sweep(hashing, params, corpus, queries, ground_truth, k,
             serving_layout, serving_layout_host,
         )
 
+        from nlsh_tpu.ops.pallas.query_kernel import BLOCK_ROWS
+
         build = (serving_layout_host
                  if corpus.shape[0] >= 2_000_000 else serving_layout)
+        grouped = engine == "pallas-grouped"
         layout = build(table, corpus, metric=metric, cap=probe_budget,
-                       dtype=serving_dtype or jnp.float32)
-        serve = (serving_query_grouped if engine == "pallas-grouped"
-                 else serving_query)
+                       dtype=serving_dtype or jnp.float32,
+                       align=BLOCK_ROWS if grouped else None)
+        serve = serving_query_grouped if grouped else serving_query
 
         def step(n):
             live = jnp.arange(max_probes)[None, :] < n

@@ -37,6 +37,25 @@ def hash_corpus(hashing, params, corpus: Array, chunk: int = 65536) -> Array:
     return codes.reshape(-1)[:n]
 
 
+def hash_corpus_host(hashing, params, corpus_np, chunk: int = 262_144):
+    """:func:`hash_corpus` for a HOST-resident numpy corpus: ships one
+    chunk to the device at a time, so the device never holds the full
+    corpus (at 10M x 96 f32 that is 3.8 GB of HBM the serving path
+    never reads again).  Returns numpy ``(n,)`` int32 bucket ids."""
+    n, d = corpus_np.shape
+    step = jax.jit(hashing.hash_hard)
+    out = np.empty((n,), np.int32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        block = corpus_np[s:e]
+        if e - s < chunk:  # one compiled shape for every chunk
+            block = np.pad(block, ((0, chunk - (e - s)), (0, 0)))
+        out[s:e] = np.asarray(
+            step(params, jnp.asarray(block))
+        )[: e - s]
+    return out
+
+
 @partial(jax.jit, static_argnames=("hashing", "k", "hash_times",
                                    "probe_mode", "grouped"))
 def _fused_serve(hashing, params, layout, full_counts, queries, key,

@@ -56,6 +56,13 @@ def serving_query(
     Returns ``(topk_ids, topk_scores, n_candidates)`` — ids are original
     corpus rows, ``-1``-padded; scores descend (higher = nearer).
     """
+    if layout.align != layout.cap:
+        raise ValueError(
+            "the fixed-cap engine indexes blocks by start/cap and needs a "
+            f"cap-aligned layout (align={layout.align}, cap={layout.cap}); "
+            "rebuild the layout with align=None or serve with the "
+            "grouped/compact engine"
+        )
     qe = extend_queries(layout, queries)
     scores, start_pos = bucket_scores(
         layout, qe, probe_ids, probe_valid, interpret=interpret

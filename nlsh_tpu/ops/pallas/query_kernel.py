@@ -94,13 +94,14 @@ class ServingLayout(NamedTuple):
 
 def layout_arrays(row_ids: Array, starts: Array, counts: Array,
                   corpus: Array, cap: int, n_aligned: int,
-                  metric: str, dtype=jnp.float32):
+                  metric: str, dtype=jnp.float32, align: int | None = None):
     """Traceable layout-construction core (also used per-shard inside
     ``shard_map``): returns ``(data, row_map, aligned_starts, norms)``
     with the static shapes ``(n_aligned, d_pad)`` / ``(n_aligned,)``;
-    ``norms`` is None for cosine."""
+    ``norms`` is None for cosine.  See :func:`aligned_rows` for
+    ``align`` (must match the ``n_aligned`` it produced)."""
     n, d = corpus.shape
-    align = cap
+    align = cap if align is None else align
 
     if metric == "cosine":
         nrm = jnp.linalg.norm(corpus, axis=1, keepdims=True)
@@ -163,15 +164,23 @@ def round_cap(cap: int) -> int:
     return max(_round_up(cap, BLOCK_ROWS), BLOCK_ROWS)
 
 
-def aligned_rows(counts, cap: int) -> int:
-    """Static row count of a layout for given bucket counts."""
-    aligned_sizes = ((np.asarray(counts) + cap - 1) // cap) * cap
+def aligned_rows(counts, cap: int, align: int | None = None) -> int:
+    """Static row count of a layout for given bucket counts.
+
+    ``align`` is the per-bucket start alignment (default ``cap``).  The
+    fixed-cap engine needs ``align == cap`` (its block index is
+    ``start / cap``); the grouped/compact engines only index by
+    ``start / BLOCK_ROWS``, so ``align=BLOCK_ROWS`` shrinks the layout
+    to ~``n + n_buckets*BLOCK_ROWS/2`` rows — at 10M rows x 16k buckets
+    the difference is whether the layout fits in HBM at all."""
+    align = cap if align is None else align
+    aligned_sizes = ((np.asarray(counts) + align - 1) // align) * align
     return int(aligned_sizes.sum()) + cap  # + cap: clamp slack
 
 
 def serving_layout(table, corpus: Array, metric: str = "cosine",
                    cap: int | None = None,
-                   dtype=jnp.float32) -> ServingLayout:
+                   dtype=jnp.float32, align: int | None = None) -> ServingLayout:
     """Build the serving layout from a CSR bucket table.
 
     ``cap`` is the per-probe DMA block size: buckets larger than ``cap``
@@ -185,24 +194,28 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
     if cap is None:
         cap = int(table.max_count())
     cap = round_cap(cap)
+    align = cap if align is None else max(_round_up(align, BLOCK_ROWS),
+                                          BLOCK_ROWS)
     counts_np = np.asarray(table.counts)
-    n_aligned = aligned_rows(counts_np, cap)
+    n_aligned = aligned_rows(counts_np, cap, align=align)
     total_blocks = int(
         (-(-np.minimum(counts_np, cap) // BLOCK_ROWS)).sum()
     )
     data, row_map, aligned_starts, norms = layout_arrays(
         table.row_ids, table.starts, table.counts, corpus,
         cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
+        align=align,
     )
     return ServingLayout(
         data=data, row_map=row_map, starts=aligned_starts,
-        counts=table.counts, cap=cap, d_pad=data.shape[1], align=cap,
+        counts=table.counts, cap=cap, d_pad=data.shape[1], align=align,
         metric=metric, total_blocks=total_blocks, norms=norms,
     )
 
 
 def layout_arrays_host(row_ids, starts, counts, corpus, cap: int,
-                       n_aligned: int, metric: str, dtype=None):
+                       n_aligned: int, metric: str, dtype=None,
+                       align: int | None = None):
     """Numpy twin of :func:`layout_arrays` for multi-million-row corpora.
 
     The jitted builder's full-corpus scatter makes the remote compile
@@ -218,7 +231,7 @@ def layout_arrays_host(row_ids, starts, counts, corpus, cap: int,
     starts = np.asarray(starts).astype(np.int64)
     counts = np.asarray(counts).astype(np.int64)
     corpus = np.asarray(corpus)
-    align = cap
+    align = cap if align is None else align
 
     if metric == "cosine":
         nrm = np.linalg.norm(corpus, axis=1, keepdims=True)
@@ -258,26 +271,30 @@ def layout_arrays_host(row_ids, starts, counts, corpus, cap: int,
 
 def serving_layout_host(table, corpus, metric: str = "cosine",
                         cap: int | None = None,
-                        dtype=jnp.float32) -> ServingLayout:
+                        dtype=jnp.float32,
+                        align: int | None = None) -> ServingLayout:
     """Host-built :func:`serving_layout`: same result, no device-side
     layout compile (the multi-million-row path, BASELINE config 5)."""
     counts_np = np.asarray(table.counts)
     if cap is None:
         cap = int(counts_np.max())
     cap = round_cap(cap)
-    n_aligned = aligned_rows(counts_np, cap)
+    align = cap if align is None else max(_round_up(align, BLOCK_ROWS),
+                                          BLOCK_ROWS)
+    n_aligned = aligned_rows(counts_np, cap, align=align)
     total_blocks = int(
         (-(-np.minimum(counts_np, cap) // BLOCK_ROWS)).sum()
     )
     data, row_map, aligned_starts, norms = layout_arrays_host(
         table.row_ids, table.starts, counts_np, corpus,
         cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
+        align=align,
     )
     return ServingLayout(
         data=jnp.asarray(data), row_map=jnp.asarray(row_map),
         starts=jnp.asarray(aligned_starts),
         counts=jnp.asarray(counts_np.astype(np.int32)),
-        cap=cap, d_pad=data.shape[1], align=cap, metric=metric,
+        cap=cap, d_pad=data.shape[1], align=align, metric=metric,
         total_blocks=total_blocks,
         norms=None if norms is None else jnp.asarray(norms),
     )

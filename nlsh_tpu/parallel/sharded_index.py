@@ -26,7 +26,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nlsh_tpu.index.bucket_table import BucketTable, build_bucket_table
+from nlsh_tpu.index.indexer import hash_corpus_host
 from nlsh_tpu.index.query import default_query_chunk, query_bucket_table
+from nlsh_tpu.native import build_csr as _build_csr_host
 
 shard_map = jax.shard_map
 
@@ -57,6 +59,15 @@ class ShardedIndexer:
             raise ValueError(f"unknown engine {engine!r}")
         if layout_mode not in ("auto", "device", "host"):
             raise ValueError(f"unknown layout_mode {layout_mode!r}")
+        if engine == "auto":
+            # grouped dominates fixed-cap at every measured operating
+            # point (RESULTS.md r2) and its layout needs ~3x less HBM
+            engine = (
+                "pallas-grouped"
+                if jax.default_backend() == "tpu"
+                and metric in ("cosine", "euclidean", "sq_euclidean")
+                else "xla"
+            )
         self.hashing = hashing
         self.params = params
         self.mesh = mesh
@@ -73,19 +84,33 @@ class ShardedIndexer:
         # layout builder then never fetches the corpus back through the
         # relay
         corpus_host = corpus if isinstance(corpus, np.ndarray) else None
-        corpus = jnp.asarray(corpus)
         self.n_real = corpus.shape[0]
         pad = (-self.n_real) % n_dev
-        if pad:
-            corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
-            if corpus_host is not None:
-                corpus_host = np.pad(corpus_host, ((0, pad), (0, 0)))
+        if corpus_host is not None and pad:
+            corpus_host = np.pad(corpus_host, ((0, pad), (0, 0)))
         self._corpus_host = corpus_host
-        self.n_padded = corpus.shape[0]
+        self.n_padded = self.n_real + pad
         self.n_local = self.n_padded // n_dev
-        self.corpus = jax.device_put(
-            corpus, NamedSharding(mesh, P(self.axis, None))
+
+        # the full f32 corpus only needs to live on-device when a traced
+        # path consumes it (multi-device shard_map build/query, or the
+        # XLA fallback engine); the 1-device host-layout serving path
+        # never touches it — at 10M x 96 keeping it resident is 3.8 GB
+        # of HBM for nothing (round-2 OOM)
+        lazy_corpus = (
+            n_dev == 1 and corpus_host is not None
+            and self.n_local >= self.HOST_LAYOUT_ROWS
+            and layout_mode != "device" and engine != "xla"
         )
+        if lazy_corpus:
+            self.corpus = None
+        else:
+            corpus = jnp.asarray(corpus)
+            if pad:
+                corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+            self.corpus = jax.device_put(
+                corpus, NamedSharding(mesh, P(self.axis, None))
+            )
 
         n_buckets = hashing.n_buckets
         axis = self.axis
@@ -99,10 +124,19 @@ class ShardedIndexer:
             # single-chip hash + one sort compile in seconds
             from nlsh_tpu.index.indexer import hash_corpus
 
-            codes = hash_corpus(hashing, params, self.corpus)
-            t = build_bucket_table(codes, n_buckets)
-            row_ids = t.row_ids
-            starts, counts = t.starts[None, :], t.counts[None, :]
+            if self.corpus is None:
+                codes = hash_corpus_host(hashing, params, corpus_host)
+                row_ids, t_starts, t_counts = _build_csr_host(
+                    codes, n_buckets
+                )
+                starts = jnp.asarray(t_starts)[None, :]
+                counts = jnp.asarray(t_counts)[None, :]
+                row_ids = jnp.asarray(row_ids)
+            else:
+                codes = hash_corpus(hashing, params, self.corpus)
+                t = build_bucket_table(codes, n_buckets)
+                row_ids = t.row_ids
+                starts, counts = t.starts[None, :], t.counts[None, :]
         else:
             @jax.jit
             @partial(
@@ -156,8 +190,13 @@ class ShardedIndexer:
         )
 
         cap = round_cap(int(jnp.max(self.counts)))
+        # the grouped engine indexes blocks by start/BLOCK_ROWS, so its
+        # layout only needs BLOCK_ROWS-aligned bucket starts — ~3x less
+        # HBM than cap alignment at 10M rows x 16k buckets; the
+        # fixed-cap engine (start/cap block index) keeps cap alignment
+        align = BLOCK_ROWS if self.engine == "pallas-grouped" else cap
         counts_np = np.asarray(self.counts)  # (D, n_buckets)
-        n_aligned = max(aligned_rows(c, cap) for c in counts_np)
+        n_aligned = max(aligned_rows(c, cap, align=align) for c in counts_np)
         # shard-uniform static group bound: the largest shard's blocks
         total_blocks = int(max(
             (-(-np.minimum(c, cap) // BLOCK_ROWS)).sum() for c in counts_np
@@ -181,6 +220,7 @@ class ShardedIndexer:
                     rids[s], starts_np[s], counts_np[s],
                     corpus_host[s * self.n_local:(s + 1) * self.n_local],
                     cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
+                    align=align,
                 )
                 for s in range(n_dev)
             ]
@@ -192,7 +232,8 @@ class ShardedIndexer:
             astarts = put([p[2] for p in parts], P(axis, None))
             norms = (put([p[3] for p in parts], P(axis, None))
                      if euclid else None)
-            self._layouts = (data, row_map, astarts, norms, cap, total_blocks)
+            self._layouts = (data, row_map, astarts, norms, cap, align,
+                             total_blocks)
             return self._layouts
 
         @jax.jit
@@ -208,6 +249,7 @@ class ShardedIndexer:
             data, row_map, astarts, norms = layout_arrays(
                 row_ids, starts[0], counts[0], corpus_local,
                 cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
+                align=align,
             )
             if norms is None:  # uniform output structure across metrics
                 norms = jnp.zeros((0,), jnp.float32)
@@ -218,7 +260,8 @@ class ShardedIndexer:
         )
         if not euclid:
             norms = None
-        self._layouts = (data, row_map, astarts, norms, cap, total_blocks)
+        self._layouts = (data, row_map, astarts, norms, cap, align,
+                         total_blocks)
         return self._layouts
 
     def _serving_query_fn(self, k: int, engine: str):
@@ -230,7 +273,7 @@ class ShardedIndexer:
         )
         from nlsh_tpu.ops.pallas.query_kernel import ServingLayout
 
-        data, row_map, astarts, norms, cap, total_blocks = (
+        data, row_map, astarts, norms, cap, align, total_blocks = (
             self._build_layouts()
         )
         d_pad = data.shape[-1]
@@ -250,7 +293,7 @@ class ShardedIndexer:
             def q1(data, row_map, astarts, norms, counts, qs, pids, pvalid):
                 layout = ServingLayout(
                     data=data[0], row_map=row_map[0], starts=astarts[0],
-                    counts=counts[0], cap=cap, d_pad=d_pad, align=cap,
+                    counts=counts[0], cap=cap, d_pad=d_pad, align=align,
                     metric=metric, norms=norms[0] if has_norms else None,
                     total_blocks=total_blocks,
                 )
@@ -272,7 +315,7 @@ class ShardedIndexer:
             shard = jax.lax.axis_index(axis)
             layout = ServingLayout(
                 data=data[0], row_map=row_map[0], starts=astarts[0],
-                counts=counts[0], cap=cap, d_pad=d_pad, align=cap,
+                counts=counts[0], cap=cap, d_pad=d_pad, align=align,
                 metric=metric, norms=norms[0] if has_norms else None,
                 total_blocks=total_blocks,
             )
@@ -352,12 +395,10 @@ class ShardedIndexer:
             probe_mode=probe_mode,
         )
         engine = self.engine
-        if engine == "auto":
-            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         if engine in ("pallas", "pallas-grouped") and self.metric in (
             "cosine", "euclidean", "sq_euclidean"
         ):
-            data, row_map, astarts, norms, _, _ = self._build_layouts()
+            data, row_map, astarts, norms, _, _, _ = self._build_layouts()
             if norms is None:
                 norms = jnp.zeros((data.shape[0], 0), jnp.float32)
             q = self._serving_query_fn(k, engine)
@@ -366,6 +407,11 @@ class ShardedIndexer:
                 queries, probe_ids, probe_valid,
             )
             return ids, ncand
+        if self.corpus is None:  # lazily materialize for the XLA path
+            self.corpus = jax.device_put(
+                self._corpus_host,
+                NamedSharding(self.mesh, P(self.axis, None)),
+            )
         if query_chunk is None:
             query_chunk = default_query_chunk(
                 hash_times, self.probe_budget, queries.shape[1]

@@ -266,3 +266,33 @@ def test_multitable_sharded_stacked_matches_unsharded(data, engine):
     t2, c2 = m2.query(queries, k=5, hash_times=2, key=jax.random.PRNGKey(5))
     np.testing.assert_array_equal(np.sort(t1, 1), np.sort(t2, 1))
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_sharded_lazy_host_corpus_matches_indexer(data):
+    """At host-layout scale on a 1-device mesh, the corpus never lands
+    on the device (the 10M-run OOM fix) — results must still match the
+    single-chip Indexer exactly."""
+    from nlsh_tpu.index import Indexer
+
+    hashing = _hashing()
+    params = hashing.init(jax.random.PRNGKey(0))
+    corpus = np.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(1, axis="shard")
+
+    old = ShardedIndexer.HOST_LAYOUT_ROWS
+    ShardedIndexer.HOST_LAYOUT_ROWS = corpus.shape[0] // 2
+    try:
+        si = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                            engine="pallas-grouped")
+        assert si.corpus is None
+        s_top, s_cand = si.query(queries, k=5, hash_times=4, key=key)
+    finally:
+        ShardedIndexer.HOST_LAYOUT_ROWS = old
+
+    ix = Indexer(hashing, params, jnp.asarray(corpus), metric="cosine",
+                 engine="xla")
+    x_top, x_cand = ix.query(queries, k=5, hash_times=4, key=key)
+    np.testing.assert_array_equal(s_cand, np.asarray(x_cand))
+    assert (np.sort(s_top, 1) == np.sort(np.asarray(x_top), 1)).mean() > 0.99

@@ -252,3 +252,72 @@ def test_query_async_fetch_matches_query():
                                            key=key))
         np.testing.assert_array_equal(t1, t2)
         np.testing.assert_array_equal(c1, c2)
+
+
+def test_grouped_block_aligned_layout_matches_cap_aligned():
+    """align=BLOCK_ROWS layouts (the 10M-scale memory fix) must serve
+    identically to cap-aligned layouts through the grouped engine, for
+    both the traced and the host builder."""
+    from nlsh_tpu.index.serving import serving_query_grouped
+    from nlsh_tpu.ops.pallas.query_kernel import (
+        BLOCK_ROWS, serving_layout_host,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, nb, nq, P, k = 900, 24, 8, 17, 4, 7
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    # skewed buckets so cap (max bucket) >> BLOCK_ROWS-aligned sizes
+    bucket_ids = jnp.asarray(
+        np.minimum(rng.geometric(0.4, n) - 1, nb - 1).astype(np.int32)
+    )
+    probe_raw = np.sort(rng.integers(0, nb, (nq, P)).astype(np.int32), axis=1)
+    probe_valid = jnp.asarray(np.concatenate(
+        [np.ones((nq, 1), bool), probe_raw[:, 1:] != probe_raw[:, :-1]],
+        axis=1,
+    ))
+    probe_ids = jnp.asarray(probe_raw)
+    table = build_bucket_table(bucket_ids, nb)
+
+    for metric in ("cosine", "euclidean"):
+        ref_layout = serving_layout(table, corpus, metric=metric)
+        r_top, r_scores, r_cand = serving_query_grouped(
+            ref_layout, queries, probe_ids, probe_valid, table.counts, k=k,
+            interpret=True,
+        )
+        for build in (serving_layout, serving_layout_host):
+            layout = build(table, corpus, metric=metric, align=BLOCK_ROWS)
+            assert layout.align == BLOCK_ROWS
+            assert layout.data.shape[0] < ref_layout.data.shape[0]
+            g_top, g_scores, g_cand = serving_query_grouped(
+                layout, queries, probe_ids, probe_valid, table.counts, k=k,
+                interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(g_cand),
+                                          np.asarray(r_cand))
+            np.testing.assert_array_equal(np.asarray(g_top),
+                                          np.asarray(r_top))
+            # host-built euclidean norms (np.einsum) differ from the
+            # traced ones (jnp.sum) in the last ulps; ids above are the
+            # exact check
+            np.testing.assert_allclose(np.asarray(g_scores),
+                                       np.asarray(r_scores),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_fixed_cap_engine_rejects_block_aligned_layout():
+    from nlsh_tpu.ops.pallas.query_kernel import BLOCK_ROWS
+
+    rng = np.random.default_rng(12)
+    n, d, nb = 300, 16, 8
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    bucket_ids = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
+    table = build_bucket_table(bucket_ids, nb)
+    layout = serving_layout(table, corpus, metric="cosine",
+                            cap=4 * BLOCK_ROWS, align=BLOCK_ROWS)
+    queries = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+    pid = jnp.zeros((4, 2), jnp.int32)
+    pv = jnp.ones((4, 2), bool)
+    with pytest.raises(ValueError, match="fixed-cap"):
+        serving_query(layout, queries, pid, pv, table.counts, k=3,
+                      interpret=True)
