@@ -112,7 +112,25 @@ def main():
                         max_steps=MAX_STEPS, hash_times=HASH_TIMES,
                         probe_mode="flip", seed=SEED)
     train_s = time.perf_counter() - t0
-    params = state.params["hashing"]
+
+    # serve the BEST checkpoint, not the last step: the recall curve
+    # peaks mid-run and decays (overtraining collapses the partition),
+    # which is exactly what the best-recall checkpoint gate is for
+    # (reference ``trainers/base.py:100-103``)
+    import glob
+    import re
+
+    best_recall, best_path = -1.0, None
+    for p in glob.glob("/tmp/train_full_glove100_*.json"):
+        m = re.search(r"_(\d+)_([0-9.]+)\.json$", p)
+        if m and float(m.group(2)) > best_recall:
+            best_recall, best_path = float(m.group(2)), p[: -len(".json")]
+    if best_path is not None:
+        hashing, params = ckpt.load_model(best_path)
+        print(f"# best checkpoint {best_path} (subset recall {best_recall})",
+              file=sys.stderr, flush=True)
+    else:
+        params = state.params["hashing"]
     ckpt.save_model("/tmp/nlsh_full_model", hashing, params)
 
     # final serving-grade measurement on the FULL corpus
