@@ -186,7 +186,11 @@ def config_4(n_train=200_000):
 
     import os
     n_train = int(os.environ.get("NLSH_CONFIG4_N", n_train))
-    data = _data("glove_100_mt", n_train, 2000, 100, "cosine")
+    # 10k queries (same as config 3): ensemble probes have ~L*nq/(L*NB)
+    # per-bucket multiplicity, so serving throughput needs a real batch
+    # to fill query groups
+    n_test = 10_000 if n_train >= 100_000 else 2000
+    data = _data("glove_100_mt", n_train, n_test, 100, "cosine")
     hashing = get_hashing(
         "MultivariateBernoulli", get_encoder("siren", data.dim, [128, 128]), 10
     )

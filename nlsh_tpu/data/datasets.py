@@ -168,10 +168,45 @@ class SyntheticDataset(Dataset):
             compute_self_knn=compute_self_knn,
         )
 
+    def _cache_path(self):
+        """On-disk cache of the (deterministic) generated arrays + GT:
+        the brute-force kNN is recomputed bit-identically on every
+        load, which through this environment's remote-compile relay
+        costs minutes per benchmark run.  Disable by setting
+        ``NLSH_SYNTH_CACHE_DIR=``."""
+        import os
+
+        cache_dir = os.environ.get("NLSH_SYNTH_CACHE_DIR",
+                                   "/tmp/nlsh_synth_cache")
+        if not cache_dir:
+            return None
+        c = self._cfg
+        key = "_".join(
+            str(c[f]) for f in ("n_train", "n_test", "dim", "n_clusters",
+                                "k", "seed", "unit_ball",
+                                "compute_self_knn")
+        )
+        return os.path.join(cache_dir, f"synth_{self.metric}_{key}.npz")
+
     def load(self):
+        import os
+
         from nlsh_tpu.ops.knn import knn, self_knn
 
         c = self._cfg
+        cache = self._cache_path()
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            self._training = z["training"]
+            self._testing = z["testing"]
+            self._ground_truth = z["ground_truth"]
+            self._training_self_knn = (
+                z["training_self_knn"] if "training_self_knn" in z else None
+            )
+            self._dim = c["dim"]
+            self._prepared = True
+            return self
+
         rng = np.random.default_rng(c["seed"])
         centers = rng.normal(size=(c["n_clusters"], c["dim"])).astype(np.float32)
         assign = rng.integers(0, c["n_clusters"], size=c["n_train"] + c["n_test"])
@@ -194,6 +229,13 @@ class SyntheticDataset(Dataset):
             self._training_self_knn = None
         self._dim = c["dim"]
         self._prepared = True
+        if cache:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            arrays = dict(training=self._training, testing=self._testing,
+                          ground_truth=self._ground_truth)
+            if self._training_self_knn is not None:
+                arrays["training_self_knn"] = self._training_self_knn
+            np.savez(cache, **arrays)
         return self
 
 

@@ -183,10 +183,10 @@ def serving_query_compact(
 
 
 @partial(jax.jit, static_argnames=("k", "g_total", "max_blocks", "group_q",
-                                   "interpret"))
+                                   "interpret", "row_k"))
 def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
                        k: int, g_total: int, max_blocks: int, group_q: int,
-                       interpret: bool):
+                       interpret: bool, row_k: int | None = None):
     from nlsh_tpu.ops.pallas.query_kernel import (
         _grouped_prep_v2, _grouped_scores_v3,
     )
@@ -207,7 +207,9 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         ROW_TOPK, _grouped_scores_topk,
     )
 
-    if k <= ROW_TOPK:
+    if row_k is None:
+        row_k = k
+    if row_k <= ROW_TOPK:
         # fused kernel: scores never leave VMEM at full width — the
         # per-row top-k (occupancy-masked, norm-biased) happens on the
         # VPU and only (G, ROW_TOPK) panels are written
@@ -242,7 +244,8 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     ev_top = jnp.where(ev_valid2[:, :, None], ev_top, -jnp.inf)
 
     flat_top = ev_top.reshape(nq, -1)
-    top_scores, arg = jax.lax.top_k(flat_top, k)
+    k_eff = min(k, flat_top.shape[1])  # row_k < k shrinks the pool
+    top_scores, arg = jax.lax.top_k(flat_top, k_eff)
     which_ev = arg // kk
     lane_sel = jnp.take_along_axis(
         ev_lane.reshape(nq, -1), arg, axis=1
@@ -253,6 +256,11 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     pos = jnp.clip(block_sel * BLOCK_ROWS + lane_sel, 0, layout.n_rows - 1)
     ids = layout.row_map[pos]
     ids = jnp.where(jnp.isfinite(top_scores), ids, -1).astype(jnp.int32)
+    if k_eff < k:
+        pad = k - k_eff
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)),
+                             constant_values=-jnp.inf)
 
     safe = jnp.clip(probe_ids, 0, full_counts.shape[0] - 1)
     n_cand = jnp.sum(
@@ -271,6 +279,8 @@ def serving_query_grouped(
     interpret: bool | None = None,
     query_chunk: int = 16384,
     group_q: int | None = None,
+    row_k: int | None = None,
+    g_total_override: int | None = None,
 ) -> tuple[Array, Array, Array]:
     """Bucket-grouped serving path (the fast engine): block events are
     sorted by bucket block and queries sharing a block are scored with
@@ -281,6 +291,21 @@ def serving_query_grouped(
     The group table is sized by a static bound (layout blocks + events
     / G) — NO host sync, one compiled shape per (layout, chunk shape)
     (round-1 VERDICT weak #2).
+
+    ``row_k`` (default ``k``) bounds the per-BLOCK top-k pre-filter.
+    Passing ``row_k < k`` keeps the fused in-kernel top-k path when the
+    fetch width ``k`` exceeds ``ROW_TOPK`` — exact whenever the caller
+    needs at most ``row_k`` DISTINCT corpus rows (multi-table stacks
+    fetch ``k*L`` to survive cross-table duplicate collapse, but any
+    single block holds distinct rows, so ``row_k=k`` per block
+    suffices).
+
+    ``g_total_override``: serve time is ~linear in the group-table size,
+    and the no-sync static bound is tight only when many queries share
+    each probed bucket (events/bucket >> group_q).  Low-multiplicity
+    probe batches (e.g. multi-table ensembles at hash_times=1) can pass
+    the EXACT group count (:func:`grouped_exact_bound` on the host) —
+    one tiny host sync that halves-or-better the group table.
     """
     import jax as _jax
 
@@ -308,14 +333,15 @@ def serving_query_grouped(
             pid = jnp.pad(pid, ((0, c_pad - c), (0, 0)))
             pv = jnp.pad(pv, ((0, c_pad - c), (0, 0)))
             qs = jnp.pad(qs, ((0, c_pad - c), (0, 0)))
-        g_bound = grouped_static_bound(
-            c_pad * pid.shape[1], max_blocks, layout.total_blocks, group_q
-        )
+        g_bound = (g_total_override if g_total_override is not None
+                   else grouped_static_bound(
+                       c_pad * pid.shape[1], max_blocks,
+                       layout.total_blocks, group_q))
         g_total = _round_up(max(g_bound, 1), _GROUP_EB)
         ids, scores, n_cand = _grouped_query_jit(
             layout, qs, pid, pv, full_counts,
             k=k, g_total=g_total, max_blocks=max_blocks, group_q=group_q,
-            interpret=interpret,
+            interpret=interpret, row_k=row_k,
         )
         out_ids.append(ids[:c])
         out_scores.append(scores[:c])

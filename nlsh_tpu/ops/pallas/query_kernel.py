@@ -954,6 +954,24 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
     )(grp_block, *operands)
 
 
+def grouped_exact_bound(counts, probe_ids, probe_valid, cap: int,
+                        group_q: int) -> int:
+    """EXACT group count of :func:`_grouped_prep_v2` for a concrete
+    probe batch, computed on the host (numpy): ``sum_b nb_b *
+    ceil(m_b/G)``.  Low-multiplicity batches (few queries per probed
+    bucket) make :func:`grouped_static_bound` several-fold loose, and
+    serve time is ~linear in the group table — the one small host sync
+    (fetching the probe ids) pays for itself."""
+    counts = np.asarray(counts)
+    pid = np.asarray(probe_ids).reshape(-1)
+    pv = np.asarray(probe_valid).reshape(-1)
+    n_buckets = counts.shape[0]
+    ok = pv & (pid >= 0) & (pid < n_buckets)
+    m = np.bincount(pid[ok], minlength=n_buckets)
+    nb = -(-np.minimum(counts, cap) // BLOCK_ROWS)
+    return int(np.sum(nb * -(-m // group_q)))
+
+
 def grouped_static_bound(n_events: int, max_blocks: int, total_blocks: int,
                          group_q: int) -> int:
     """Static upper bound on the group count for ANY probe batch of

@@ -67,6 +67,13 @@ class MultiTableIndexer:
                  engine: str = "auto", serving_dtype=None):
         if engine not in ("auto", "xla", "pallas", "pallas-grouped"):
             raise ValueError(f"unknown engine {engine!r}")
+        if engine == "auto":
+            engine = (
+                "pallas-grouped"
+                if jax.default_backend() == "tpu"
+                and metric in ("cosine", "euclidean", "sq_euclidean")
+                else "xla"
+            )
         self.hashing = hashing
         self.params = stacked_params
         self.corpus = jnp.asarray(corpus)
@@ -261,15 +268,18 @@ class MultiTableIndexer:
         )
 
         cap = round_cap(int(jnp.max(self.counts)))
+        # grouped engine: BLOCK_ROWS-aligned bucket starts shrink the
+        # stacked (L-copy!) layout ~cap/BLOCK_ROWS-fold vs cap alignment
+        align = BLOCK_ROWS if self.engine == "pallas-grouped" else cap
         counts_np = np.asarray(self.counts)  # (L, NB)
-        n_aligned = max(aligned_rows(c, cap) for c in counts_np)
+        n_aligned = max(aligned_rows(c, cap, align=align) for c in counts_np)
         total_blocks = int(sum(
             (-(-np.minimum(c, cap) // BLOCK_ROWS)).sum() for c in counts_np
         ))
         metric, dtype = self.metric, self.serving_dtype
 
         build = partial(layout_arrays, cap=cap, n_aligned=n_aligned,
-                        metric=metric, dtype=dtype)
+                        metric=metric, dtype=dtype, align=align)
 
         # sequential over tables (lax.map): peak transient memory stays
         # one table's sort+scatter, not L of them
@@ -296,15 +306,16 @@ class MultiTableIndexer:
             astarts = jax.device_put(astarts, spec(self.axis, None))
             if norms is not None:
                 norms = jax.device_put(norms, spec(self.axis, None))
-        self._stacked = (data, row_map, astarts, norms, cap, n_aligned,
-                         total_blocks)
+        self._stacked = (data, row_map, astarts, norms, cap, align,
+                         n_aligned, total_blocks)
         return self._stacked
 
     @staticmethod
-    def _flat_layout(data, row_map, astarts, norms, counts, cap, n_aligned,
-                     total_blocks, metric):
+    def _flat_layout(data, row_map, astarts, norms, counts, cap, align,
+                     n_aligned, total_blocks, metric):
         """Collapse a (Lc, ...) per-table stack into one flat layout over
-        Lc * NB buckets (table-major)."""
+        Lc * NB buckets (table-major).  Exact flat block indices need
+        ``n_aligned % align == 0`` (aligned_rows guarantees it)."""
         from nlsh_tpu.ops.pallas.query_kernel import ServingLayout
 
         lc = data.shape[0]
@@ -314,7 +325,7 @@ class MultiTableIndexer:
             row_map=row_map.reshape(-1),
             starts=(astarts + offs).reshape(-1),
             counts=counts.reshape(-1),
-            cap=cap, d_pad=data.shape[-1], align=cap, metric=metric,
+            cap=cap, d_pad=data.shape[-1], align=align, metric=metric,
             total_blocks=total_blocks,
             norms=None if norms is None else norms.reshape(-1),
         )
@@ -348,7 +359,7 @@ class MultiTableIndexer:
             serving_query, serving_query_grouped,
         )
 
-        data, row_map, astarts, norms, cap, n_aligned, total_blocks = (
+        data, row_map, astarts, norms, cap, align, n_aligned, total_blocks = (
             self._build_stacked()
         )
         L = self.n_tables
@@ -364,14 +375,42 @@ class MultiTableIndexer:
         k_fetch = min(k * L, n_probes * L * cap)
 
         layout = self._flat_layout(
-            data, row_map, astarts, norms, self.counts, cap, n_aligned,
-            total_blocks, self.metric,
+            data, row_map, astarts, norms, self.counts, cap, align,
+            n_aligned, total_blocks, self.metric,
         )
-        serve = (serving_query_grouped if engine == "pallas-grouped"
-                 else serving_query)
-        ids, scores, n_cand = serve(
-            layout, queries, gp, gv, layout.counts, k=k_fetch
-        )
+        if engine == "pallas-grouped":
+            # row_k=k keeps the fused in-kernel top-k: a block holds
+            # distinct corpus rows, so k per block survives the
+            # cross-table duplicate collapse that k_fetch=k*L guards.
+            # hash_times=1 ensemble batches have LOW per-bucket
+            # multiplicity (~nq*L/(L*NB) queries share a bucket), which
+            # makes the no-sync static group bound several-fold loose —
+            # and serve time is ~linear in the group table.  Pay one
+            # small host sync for the exact bound, rounded up to powers
+            # of two so compile variants stay logarithmic.
+            import os
+
+            from nlsh_tpu.ops.pallas.query_kernel import (
+                _GROUP_EB, grouped_exact_bound,
+            )
+
+            g_override = None
+            if os.environ.get("NLSH_MT_SYNC_BOUND", "1") != "0":
+                G = int(os.environ.get("NLSH_GROUP_Q", 32))
+                g_exact = grouped_exact_bound(
+                    np.asarray(layout.counts), np.asarray(gp),
+                    np.asarray(gv), cap, G,
+                )
+                units = max(-(-g_exact // _GROUP_EB), 1)
+                g_override = _GROUP_EB * (1 << (units - 1).bit_length())
+            ids, scores, n_cand = serving_query_grouped(
+                layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
+                g_total_override=g_override,
+            )
+        else:
+            ids, scores, n_cand = serving_query(
+                layout, queries, gp, gv, layout.counts, k=k_fetch
+            )
         merged, _ = self._dedupe_topk(ids, scores, k, self.corpus.shape[0])
         return merged, n_cand
 
@@ -384,7 +423,7 @@ class MultiTableIndexer:
             serving_query, serving_query_grouped,
         )
 
-        data, row_map, astarts, norms, cap, n_aligned, total_blocks = (
+        data, row_map, astarts, norms, cap, align, n_aligned, total_blocks = (
             self._build_stacked()
         )
         cache_key = ("serving", k, engine, queries.shape[0], pids.shape[-1])
@@ -415,16 +454,22 @@ class MultiTableIndexer:
                 n_probes = pids.shape[-1]
                 layout = flat_layout(
                     data, row_map, astarts, norms if has_norms else None,
-                    counts, cap, n_aligned, total_blocks, metric,
+                    counts, cap, align, n_aligned, total_blocks, metric,
                 )
                 gp = (jnp.moveaxis(pids, 0, 1)
                       + (jnp.arange(lc, dtype=jnp.int32) * nb)[None, :, None])
                 gv = jnp.moveaxis(pvalid, 0, 1)
                 k_fetch = min(k * lc, n_probes * lc * cap)
-                ids, scores, n_cand = serve(
-                    layout, qs, gp.reshape(nq, -1), gv.reshape(nq, -1),
-                    layout.counts, k=k_fetch,
-                )
+                if engine == "pallas-grouped":
+                    ids, scores, n_cand = serve(
+                        layout, qs, gp.reshape(nq, -1), gv.reshape(nq, -1),
+                        layout.counts, k=k_fetch, row_k=k,
+                    )
+                else:
+                    ids, scores, n_cand = serve(
+                        layout, qs, gp.reshape(nq, -1), gv.reshape(nq, -1),
+                        layout.counts, k=k_fetch,
+                    )
                 # merge per-device candidates over ICI, collapse dups
                 all_i = jax.lax.all_gather(ids, axis)     # (D, nq, k*lc)
                 all_s = jax.lax.all_gather(scores, axis)

@@ -18,6 +18,8 @@ reduction order).
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 
 import jax
@@ -264,8 +266,9 @@ class ShardedIndexer:
                          total_blocks)
         return self._layouts
 
-    def _serving_query_fn(self, k: int, engine: str):
-        cache_key = ("serving", k, engine)
+    def _serving_query_fn(self, k: int, engine: str,
+                          g_override: int | None = None):
+        cache_key = ("serving", k, engine, g_override)
         if cache_key in self._query_cache:
             return self._query_cache[cache_key]
         from nlsh_tpu.index.serving import (
@@ -286,8 +289,6 @@ class ShardedIndexer:
             # degenerate mesh: no merge to do, and the shard_map wrapper
             # makes the remote compile pathological at multi-million
             # rows — serve the single shard's layout directly
-            serve = (serving_query_grouped if engine == "pallas-grouped"
-                     else serving_query)
 
             @jax.jit
             def q1(data, row_map, astarts, norms, counts, qs, pids, pvalid):
@@ -297,7 +298,13 @@ class ShardedIndexer:
                     metric=metric, norms=norms[0] if has_norms else None,
                     total_blocks=total_blocks,
                 )
-                return serve(layout, qs, pids, pvalid, counts[0], k=k)
+                if engine == "pallas-grouped":
+                    return serving_query_grouped(
+                        layout, qs, pids, pvalid, counts[0], k=k,
+                        g_total_override=g_override,
+                    )
+                return serving_query(layout, qs, pids, pvalid, counts[0],
+                                     k=k)
 
             self._query_cache[cache_key] = q1
             return q1
@@ -398,10 +405,29 @@ class ShardedIndexer:
         if engine in ("pallas", "pallas-grouped") and self.metric in (
             "cosine", "euclidean", "sq_euclidean"
         ):
-            data, row_map, astarts, norms, _, _, _ = self._build_layouts()
+            data, row_map, astarts, norms, cap, _, _ = self._build_layouts()
             if norms is None:
                 norms = jnp.zeros((data.shape[0], 0), jnp.float32)
-            q = self._serving_query_fn(k, engine)
+            g_override = None
+            if (engine == "pallas-grouped"
+                    and self.mesh.devices.size == 1
+                    and os.environ.get("NLSH_MT_SYNC_BOUND", "1") != "0"):
+                # low-multiplicity batches make the static group bound
+                # several-fold loose and serve time is ~linear in it;
+                # pay one small host sync for the exact bound (pow-2
+                # rounded so compile variants stay logarithmic)
+                from nlsh_tpu.ops.pallas.query_kernel import (
+                    _GROUP_EB, grouped_exact_bound,
+                )
+
+                G = int(os.environ.get("NLSH_GROUP_Q", 32))
+                g_exact = grouped_exact_bound(
+                    np.asarray(self.counts[0]), np.asarray(probe_ids),
+                    np.asarray(probe_valid), cap, G,
+                )
+                units = max(-(-g_exact // _GROUP_EB), 1)
+                g_override = _GROUP_EB * (1 << (units - 1).bit_length())
+            q = self._serving_query_fn(k, engine, g_override)
             ids, _, ncand = q(
                 data, row_map, astarts, norms, self.counts,
                 queries, probe_ids, probe_valid,
