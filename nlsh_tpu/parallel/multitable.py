@@ -397,12 +397,29 @@ class MultiTableIndexer:
             g_override = None
             if os.environ.get("NLSH_MT_SYNC_BOUND", "1") != "0":
                 G = int(os.environ.get("NLSH_GROUP_Q", 32))
+                if not hasattr(self, "_flat_counts_np"):
+                    self._flat_counts_np = np.asarray(layout.counts)
+                # ONE fused fetch (each relay fetch costs ~30 ms and
+                # drains the in-order device queue)
+                gpv = np.asarray(
+                    jnp.concatenate([gp, gv.astype(jnp.int32)], axis=1)
+                )
                 g_exact = grouped_exact_bound(
-                    np.asarray(layout.counts), np.asarray(gp),
-                    np.asarray(gv), cap, G,
+                    self._flat_counts_np,
+                    gpv[:, : gp.shape[1]],
+                    gpv[:, gp.shape[1]:].astype(bool), cap, G,
                 )
                 units = max(-(-g_exact // _GROUP_EB), 1)
                 g_override = _GROUP_EB * (1 << (units - 1).bit_length())
+                from nlsh_tpu.ops.pallas.query_kernel import (
+                    BLOCK_ROWS, grouped_static_bound,
+                )
+
+                static = grouped_static_bound(
+                    nq * gp.shape[1], cap // BLOCK_ROWS,
+                    layout.total_blocks, G,
+                )
+                g_override = min(g_override, static)  # never beyond static
             ids, scores, n_cand = serving_query_grouped(
                 layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
                 g_total_override=g_override,

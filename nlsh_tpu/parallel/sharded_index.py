@@ -411,11 +411,15 @@ class ShardedIndexer:
             g_override = None
             if (engine == "pallas-grouped"
                     and self.mesh.devices.size == 1
-                    and os.environ.get("NLSH_MT_SYNC_BOUND", "1") != "0"):
-                # low-multiplicity batches make the static group bound
-                # several-fold loose and serve time is ~linear in it;
-                # pay one small host sync for the exact bound (pow-2
-                # rounded so compile variants stay logarithmic)
+                    and os.environ.get("NLSH_SHARDED_SYNC_BOUND", "0")
+                    != "0"):
+                # OFF by default: each np.asarray through the relay
+                # costs ~30 ms AND forces the in-order device queue to
+                # drain (no pipelining).  Measured at config 5 (2M,
+                # 16 probes) the static bound is tight enough that the
+                # sync LOSES 2x (9.1k vs 20.1k QPS); enable only for
+                # probe batches where the static bound is several-fold
+                # loose (see MultiTableIndexer, where it wins 4x).
                 from nlsh_tpu.ops.pallas.query_kernel import (
                     _GROUP_EB, grouped_exact_bound,
                 )
