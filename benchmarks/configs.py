@@ -100,7 +100,7 @@ def config_1():
     from nlsh_tpu.index import Indexer
     from nlsh_tpu.models import get_encoder, get_hashing
 
-    data = _data("glove_25", 100_000, 2000, 25, "cosine")
+    data = _data("glove_25", 100_000, 10_000, 25, "cosine")
     hashing = get_hashing(
         "MultivariateBernoulli", get_encoder("mlp", data.dim, [256, 256]), 8
     )
@@ -126,7 +126,7 @@ def config_2():
     from nlsh_tpu.models import get_encoder, get_hashing
     from nlsh_tpu.ops.knn import self_knn
 
-    data = _data("sift", 1_000_000, 2000, 128, "euclidean")
+    data = _data("sift", 1_000_000, 10_000, 128, "euclidean")
     # train on a subset (self-kNN of the full 1M is the offline
     # precompute path; keep this config bounded)
     rng = np.random.default_rng(0)

@@ -321,3 +321,42 @@ def test_fixed_cap_engine_rejects_block_aligned_layout():
     with pytest.raises(ValueError, match="fixed-cap"):
         serving_query(layout, queries, pid, pv, table.counts, k=3,
                       interpret=True)
+
+
+def test_grouped_exact_bound_override_matches_static():
+    """The host-computed exact group bound must allocate enough groups:
+    serving with g_total_override=exact bound returns exactly the
+    static-bound results (no event truncation)."""
+    from nlsh_tpu.index.serving import serving_query_grouped
+    from nlsh_tpu.ops.pallas.query_kernel import grouped_exact_bound
+
+    rng = np.random.default_rng(21)
+    n, d, nb, nq, P, k = 700, 24, 16, 29, 5, 7
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    bucket_ids = jnp.asarray(
+        np.minimum(rng.geometric(0.3, n) - 1, nb - 1).astype(np.int32)
+    )
+    probe_raw = np.sort(rng.integers(0, nb, (nq, P)).astype(np.int32), axis=1)
+    probe_valid = jnp.asarray(np.concatenate(
+        [np.ones((nq, 1), bool), probe_raw[:, 1:] != probe_raw[:, :-1]],
+        axis=1,
+    ))
+    probe_ids = jnp.asarray(probe_raw)
+    table = build_bucket_table(bucket_ids, nb)
+    layout = serving_layout(table, corpus, metric="cosine")
+
+    ref = serving_query_grouped(
+        layout, queries, probe_ids, probe_valid, table.counts, k=k,
+        interpret=True,
+    )
+    g_exact = grouped_exact_bound(
+        np.asarray(table.counts), np.asarray(probe_ids),
+        np.asarray(probe_valid), layout.cap, 32,
+    )
+    out = serving_query_grouped(
+        layout, queries, probe_ids, probe_valid, table.counts, k=k,
+        interpret=True, group_q=32, g_total_override=g_exact,
+    )
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
