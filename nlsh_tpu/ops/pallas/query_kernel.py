@@ -518,7 +518,16 @@ def _bucket_scores_auto(data, queries_ext, block_idx, counts,
 # the same pipeline, and occupancy masking happens in XLA afterwards —
 # only the block index itself needs scalar prefetch.
 
-BLOCK_ROWS = 128  # rows per compact block (one DMA)
+import os as _os_br
+
+# rows per compact block (one DMA).  NLSH_BLOCK_ROWS to experiment:
+# bigger blocks amortize per-DMA/per-group overhead against more
+# per-bucket padding bytes.  Measured on chip at the bench workload
+# (mean bucket 289): 128 -> 87.0k QPS (108 GB/s useful), 256 -> 118.5k,
+# 512 -> 153.8k (190 GB/s), 1024 -> 151.6k — per-group overhead, not
+# streamed bytes, sets serve time, so 512 is the default.  Layouts and
+# engines must use the SAME value — it is read once at import.
+BLOCK_ROWS = int(_os_br.environ.get("NLSH_BLOCK_ROWS", 512))
 
 
 def _make_compact_kernel(eb: int, block_rows: int, d_pad: int):
@@ -802,7 +811,13 @@ def _make_grouped_kernel_v3(eb: int):
     return kernel
 
 
-_GROUP_EB = 8  # groups per grid step in the v3 kernel
+import os as _os
+
+# groups per grid step in the v3 kernel (NLSH_GROUP_EB to experiment).
+# Measured on chip at the bench workload: 8 -> 87.0k QPS, 16 -> 77.2k —
+# more operand streams per step hurt (VMEM pressure / DMA scheduling),
+# so per-grid-step overhead is NOT the serve-time driver; group COUNT is.
+_GROUP_EB = int(_os.environ.get("NLSH_GROUP_EB", 8))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
