@@ -212,12 +212,15 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     if row_k <= ROW_TOPK:
         # fused kernel: scores never leave VMEM at full width — the
         # per-row top-k (occupancy-masked, norm-biased) happens on the
-        # VPU and only (G, ROW_TOPK) panels are written
+        # VPU and only (G, row_k) panels are written.  row_k iterations
+        # suffice: every block holds distinct corpus rows, so the final
+        # top-k needs at most row_k of any one block's rows
         row_top3, row_lane3 = _grouped_scores_topk(
             layout.data, layout.norms, grp_qvecs, grp_block, grp_cnt,
             has_norms=layout.norms is not None, interpret=interpret,
+            kk=row_k,
         )
-        kk = ROW_TOPK
+        kk = row_k
         row_top = row_top3.reshape(g_total * group_q, kk)
         row_lane = row_lane3.reshape(g_total * group_q, kk)
     else:

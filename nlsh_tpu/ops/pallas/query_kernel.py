@@ -905,14 +905,18 @@ def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("has_norms", "interpret"))
+@partial(jax.jit, static_argnames=("has_norms", "interpret", "kk"))
 def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
-                         has_norms: bool, interpret: bool):
-    """Fused score + per-row top-ROW_TOPK.  Returns
-    ``(row_top (g_total, G, kk), row_lane (g_total, G, kk))``."""
+                         has_norms: bool, interpret: bool,
+                         kk: int = ROW_TOPK):
+    """Fused score + per-row top-``kk``.  Returns
+    ``(row_top (g_total, G, kk), row_lane (g_total, G, kk))``.  The
+    iterative in-kernel top-k costs one VPU max+mask pass per kept
+    element, so callers size ``kk`` to what they actually need (the
+    per-block distinct count) instead of the ROW_TOPK ceiling."""
     g_total, G, d_pad = grp_qvecs.shape
     eb = _GROUP_EB
-    kk = ROW_TOPK
+    kk = min(max(int(kk), 1), ROW_TOPK)
     assert g_total % eb == 0
 
     def corpus_spec(j):
