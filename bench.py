@@ -88,19 +88,35 @@ def main():
     queries = jnp.asarray(queries_np)
 
     # -- exact ground truth on the MXU ----------------------------------
-    t0 = time.perf_counter()
-    _, gt = knn(queries, corpus, k=K, metric="cosine",
-                query_tile=1024, corpus_chunk=131_072)
-    gt = np.asarray(jax.block_until_ready(gt))
-    gt_s = time.perf_counter() - t0
+    # GT and subset self-kNN are deterministic in SEED; cache them on
+    # disk — the remote compile helper has multi-minute latency windows
+    # (a GT compile was observed at 592 s) and the driver's bench budget
+    # is ~8 min.  NLSH_BENCH_GT_CACHE= disables.
+    import os
 
-    # -- short training run on a subset ---------------------------------
+    cache = os.environ.get("NLSH_BENCH_GT_CACHE",
+                           "/tmp/nlsh_bench_gt_cache.npz")
     sub_idx = rng.choice(N_CORPUS, TRAIN_SUBSET, replace=False)
-    subset = corpus_np[sub_idx]
-    t0 = time.perf_counter()
-    sub_knn = np.asarray(self_knn(jnp.asarray(subset), k=20, metric="cosine",
-                                  query_tile=1024, corpus_chunk=131_072))
-    knn_s = time.perf_counter() - t0
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        gt, sub_knn = z["gt"], z["sub_knn"]
+        subset = corpus_np[sub_idx]
+        gt_s = knn_s = 0.0
+    else:
+        t0 = time.perf_counter()
+        _, gt = knn(queries, corpus, k=K, metric="cosine",
+                    query_tile=1024, corpus_chunk=131_072)
+        gt = np.asarray(jax.block_until_ready(gt))
+        gt_s = time.perf_counter() - t0
+
+        subset = corpus_np[sub_idx]
+        t0 = time.perf_counter()
+        sub_knn = np.asarray(self_knn(jnp.asarray(subset), k=20,
+                                      metric="cosine",
+                                      query_tile=1024, corpus_chunk=131_072))
+        knn_s = time.perf_counter() - t0
+        if cache:
+            np.savez(cache, gt=gt, sub_knn=sub_knn)
 
     data = _BenchData(subset, queries_np[:256], gt[:256], sub_knn, "cosine")
     enc = get_encoder("siren", DIM, [256, 256])
@@ -149,7 +165,9 @@ def main():
             grouped = engine == "pallas-grouped"
             R = 4
             times, times1 = [], []
-            for _ in range(2):
+            # 3 reps: the relay has multi-second latency windows and the
+            # recorded number is min-of-reps
+            for _ in range(3):
                 t0 = time.perf_counter()
                 outs = [
                     _fused_serve(
