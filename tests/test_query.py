@@ -115,3 +115,22 @@ def test_indexer_end_to_end_smoke():
     # the query vector is in the corpus: probing its own hard bucket must
     # return itself as nearest (distance 0)
     assert (top[:, 0] == np.arange(10)).all()
+
+
+def test_hash_corpus_host_matches_device():
+    """Chunked host hashing (the 10M no-device-corpus path) must produce
+    the same codes as the jitted device path, including the ragged tail
+    chunk."""
+    import numpy as np
+
+    from nlsh_tpu.index.indexer import hash_corpus, hash_corpus_host
+    from nlsh_tpu.models.encoders import MLPEncoder
+    from nlsh_tpu.models.hashings import MultivariateBernoulli
+
+    rng = np.random.default_rng(3)
+    corpus = rng.normal(size=(1000, 12)).astype(np.float32)
+    hashing = MultivariateBernoulli(MLPEncoder(12, (16,)), 5)
+    params = hashing.init(jax.random.PRNGKey(0))
+    dev = np.asarray(hash_corpus(hashing, params, jnp.asarray(corpus)))
+    host = hash_corpus_host(hashing, params, corpus, chunk=256)
+    np.testing.assert_array_equal(host, dev)
