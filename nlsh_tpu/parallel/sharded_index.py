@@ -274,8 +274,15 @@ class ShardedIndexer:
         return self._layouts
 
     def _serving_query_fn(self, k: int, engine: str,
+                          hash_times: int, probe_mode: str,
                           g_override: int | None = None):
-        cache_key = ("serving", k, engine, g_override)
+        """ONE jitted program per query batch: probe-hash + serve (+
+        cross-shard merge) + pack ``[topk_ids | n_cand]`` into a single
+        int32 array — every extra eager op or output array costs a
+        relay round-trip (~6-55 ms, CLAUDE.md), exactly like the
+        single-table Indexer's fused dispatch."""
+        cache_key = ("serving", k, engine, hash_times, probe_mode,
+                     g_override)
         if cache_key in self._query_cache:
             return self._query_cache[cache_key]
         from nlsh_tpu.index.serving import (
@@ -288,6 +295,7 @@ class ShardedIndexer:
         )
         d_pad = data.shape[-1]
         axis, metric, n_local = self.axis, self.metric, self.n_local
+        hashing = self.hashing
         has_norms = norms is not None
         if not has_norms:  # shard_map needs an array operand regardless
             norms = jnp.zeros((data.shape[0], 0), jnp.float32)
@@ -298,7 +306,11 @@ class ShardedIndexer:
             # rows — serve the single shard's layout directly
 
             @jax.jit
-            def q1(data, row_map, astarts, norms, counts, qs, pids, pvalid):
+            def q1(params, data, row_map, astarts, norms, counts, qs, key):
+                pids, pvalid = hashing.hash(
+                    params, qs, n_probes=hash_times, key=key,
+                    probe_mode=probe_mode,
+                )
                 layout = ServingLayout(
                     data=data[0], row_map=row_map[0], starts=astarts[0],
                     counts=counts[0], cap=cap, d_pad=d_pad, align=align,
@@ -306,26 +318,29 @@ class ShardedIndexer:
                     total_blocks=total_blocks,
                 )
                 if engine == "pallas-grouped":
-                    return serving_query_grouped(
+                    ids, _, ncand = serving_query_grouped(
                         layout, qs, pids, pvalid, counts[0], k=k,
                         g_total_override=g_override,
                     )
-                return serving_query(layout, qs, pids, pvalid, counts[0],
-                                     k=k)
+                else:
+                    ids, _, ncand = serving_query(
+                        layout, qs, pids, pvalid, counts[0], k=k
+                    )
+                return jnp.concatenate([ids, ncand[:, None]], axis=1)
 
             self._query_cache[cache_key] = q1
             return q1
 
-        @jax.jit
         @partial(
             shard_map,
             mesh=self.mesh,
             in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
                       P(axis, None), P(axis, None), P(), P(), P()),
-            out_specs=(P(), P(), P()),
+            out_specs=P(),
             check_vma=False,
         )
-        def q(data, row_map, astarts, norms, counts, qs, pids, pvalid):
+        def q_shards(data, row_map, astarts, norms, counts, qs, pids,
+                     pvalid):
             shard = jax.lax.axis_index(axis)
             layout = ServingLayout(
                 data=data[0], row_map=row_map[0], starts=astarts[0],
@@ -345,9 +360,21 @@ class ShardedIndexer:
             all_s = jnp.moveaxis(all_s, 0, 1).reshape(nq, -1)
             all_i = jnp.moveaxis(all_i, 0, 1).reshape(nq, -1)
             top, arg = jax.lax.top_k(all_s, k)  # higher score = nearer
-            merged_i = jnp.take_along_axis(all_i, arg, axis=1)
-            merged_i = jnp.where(jnp.isfinite(top), merged_i, -1)
-            return merged_i, top, jax.lax.psum(ncand, axis)
+            merged_i = jnp.where(
+                jnp.isfinite(top),
+                jnp.take_along_axis(all_i, arg, axis=1), -1
+            ).astype(jnp.int32)
+            ncand = jax.lax.psum(ncand, axis)
+            return jnp.concatenate([merged_i, ncand[:, None]], axis=1)
+
+        @jax.jit
+        def q(params, data, row_map, astarts, norms, counts, qs, key):
+            pids, pvalid = hashing.hash(
+                params, qs, n_probes=hash_times, key=key,
+                probe_mode=probe_mode,
+            )
+            return q_shards(data, row_map, astarts, norms, counts, qs,
+                            pids, pvalid)
 
         self._query_cache[cache_key] = q
         return q
@@ -370,7 +397,7 @@ class ShardedIndexer:
             mesh=self.mesh,
             in_specs=(P(axis), P(axis, None), P(axis, None), P(axis, None),
                       P(), P(), P()),
-            out_specs=(P(), P(), P()),
+            out_specs=P(),
             check_vma=False,
         )
         def q(row_ids, starts, counts, corpus_local, qs, pids, pvalid):
@@ -389,9 +416,12 @@ class ShardedIndexer:
             all_d = jnp.moveaxis(all_d, 0, 1).reshape(nq, -1)
             all_i = jnp.moveaxis(all_i, 0, 1).reshape(nq, -1)
             neg_top, arg = jax.lax.top_k(-all_d, k)
-            merged_i = jnp.take_along_axis(all_i, arg, axis=1)
-            merged_i = jnp.where(jnp.isfinite(neg_top), merged_i, -1)
-            return merged_i, -neg_top, jax.lax.psum(ncand, axis)
+            merged_i = jnp.where(
+                jnp.isfinite(neg_top),
+                jnp.take_along_axis(all_i, arg, axis=1), -1
+            ).astype(jnp.int32)
+            ncand = jax.lax.psum(ncand, axis)
+            return jnp.concatenate([merged_i, ncand[:, None]], axis=1)
 
         self._query_cache[cache_key] = q
         return q
@@ -404,10 +434,6 @@ class ShardedIndexer:
         if key is None:
             key = jax.random.PRNGKey(0)
         queries = jnp.asarray(queries)
-        probe_ids, probe_valid = self.hashing.hash(
-            self.params, queries, n_probes=hash_times, key=key,
-            probe_mode=probe_mode,
-        )
         engine = self.engine
         if engine in ("pallas", "pallas-grouped") and self.metric in (
             "cosine", "euclidean", "sq_euclidean"
@@ -431,6 +457,10 @@ class ShardedIndexer:
                     _GROUP_EB, grouped_exact_bound,
                 )
 
+                probe_ids, probe_valid = self.hashing.hash(
+                    self.params, queries, n_probes=hash_times, key=key,
+                    probe_mode=probe_mode,
+                )
                 G = int(os.environ.get("NLSH_GROUP_Q", 32))
                 g_exact = grouped_exact_bound(
                     np.asarray(self.counts[0]), np.asarray(probe_ids),
@@ -438,12 +468,16 @@ class ShardedIndexer:
                 )
                 units = max(-(-g_exact // _GROUP_EB), 1)
                 g_override = _GROUP_EB * (1 << (units - 1).bit_length())
-            q = self._serving_query_fn(k, engine, g_override)
-            ids, _, ncand = q(
-                data, row_map, astarts, norms, self.counts,
-                queries, probe_ids, probe_valid,
+            q = self._serving_query_fn(k, engine, hash_times, probe_mode,
+                                       g_override)
+            return q(
+                self.params, data, row_map, astarts, norms, self.counts,
+                queries, key,
             )
-            return ids, ncand
+        probe_ids, probe_valid = self.hashing.hash(
+            self.params, queries, n_probes=hash_times, key=key,
+            probe_mode=probe_mode,
+        )
         if self.corpus is None:  # lazily materialize for the XLA path
             self.corpus = jax.device_put(
                 self._corpus_host,
@@ -454,17 +488,17 @@ class ShardedIndexer:
                 hash_times, self.probe_budget, queries.shape[1]
             )
         q = self._query_fn(k, query_chunk)
-        ids, _, ncand = q(
+        return q(
             self.row_ids, self.starts, self.counts, self.corpus,
             queries, probe_ids, probe_valid,
         )
-        return ids, ncand
 
     @staticmethod
     def fetch(result) -> tuple[np.ndarray, np.ndarray]:
-        """Fetch a :meth:`query_async` result to host."""
-        ids, n_cand = result
-        return np.asarray(ids), np.asarray(n_cand)
+        """Fetch a :meth:`query_async` result: ONE packed ``(nq, k+1)``
+        transfer, split into ``(topk_ids, n_candidates)``."""
+        arr = np.asarray(result)
+        return arr[:, :-1], arr[:, -1]
 
     def query(self, queries, k: int = 10, hash_times: int = 10, key=None,
               query_chunk: int | None = None, probe_mode: str = "sample"):
