@@ -267,9 +267,17 @@ def get_data_by_id(data_id: str) -> Dataset:
 
         max_rows = None
         if len(parts) > 1:
-            spec = parts[1].upper()
-            mult = {"K": 10**3, "M": 10**6, "B": 10**9}.get(spec[-1], 1)
-            max_rows = int(spec.rstrip("KMB") or 1) * mult
+            import re
+
+            m = re.fullmatch(r"(\d+)([KMB]?)", parts[1].upper())
+            if m is None:
+                raise ValueError(
+                    f"unknown data id {data_id!r}: size suffix "
+                    f"{parts[1]!r} must match <digits>[K|M|B] "
+                    "(e.g. bigann_10M)"
+                )
+            mult = {"": 1, "K": 10**3, "M": 10**6, "B": 10**9}[m.group(2)]
+            max_rows = int(m.group(1)) * mult
         name = family.upper()
         return BigBinaryDataset(
             base_path=get_env(f"NLSH_{name}_BASE_PATH"),

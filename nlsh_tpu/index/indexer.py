@@ -97,6 +97,13 @@ class Indexer:
     #: remote compile host OOM at multi-million rows
     HOST_LAYOUT_ROWS = 2_000_000
 
+    #: engines: ``xla`` (gather + rerank in XLA), ``pallas`` (fixed-cap
+    #: streaming kernel), ``pallas-grouped`` (bucket-grouped MXU matmuls
+    #: — the TPU default), ``pallas-compact`` (skew-proof block-event
+    #: stream; one host sync per query chunk to size it — wins on
+    #: high-skew tables where a few huge buckets force everyone's cap up)
+    ENGINES = ("auto", "xla", "pallas", "pallas-grouped", "pallas-compact")
+
     def __init__(
         self,
         hashing,
@@ -107,8 +114,9 @@ class Indexer:
         engine: str = "auto",
         serving_dtype=None,
         layout_mode: str = "auto",
+        block_rows: int | None = None,
     ):
-        if engine not in ("auto", "xla", "pallas", "pallas-grouped"):
+        if engine not in self.ENGINES:
             raise ValueError(f"unknown engine {engine!r}")
         if layout_mode not in ("auto", "device", "host"):
             raise ValueError(f"unknown layout_mode {layout_mode!r}")
@@ -118,6 +126,7 @@ class Indexer:
         self.metric = metric
         self.engine = engine
         self.layout_mode = layout_mode
+        self.block_rows = block_rows  # None = module default
         # bf16 serving layout halves streamed bytes; rank flips only
         # among candidates whose distances differ below bf16 resolution
         self.serving_dtype = serving_dtype or jnp.float32
@@ -144,6 +153,7 @@ class Indexer:
             self._layout = build(
                 self.table, self.corpus, metric=self.metric,
                 cap=self.probe_budget, dtype=self.serving_dtype,
+                block_rows=self.block_rows,
             )
         return self._layout
 
@@ -173,9 +183,25 @@ class Indexer:
         if engine == "auto":
             engine = "pallas-grouped" if jax.default_backend() == "tpu" \
                 else "xla"
-        if engine != "xla" and self.metric in (
-            "cosine", "euclidean", "sq_euclidean"
-        ):
+        serving_metric = self.metric in ("cosine", "euclidean",
+                                         "sq_euclidean")
+        if engine == "pallas-compact" and serving_metric:
+            # the compact engine sizes its block-event stream with one
+            # host sync per query chunk, so it cannot live inside the
+            # fused one-dispatch program — its win is byte-proportional
+            # streaming on high-skew tables, not dispatch count
+            from nlsh_tpu.index.serving import serving_query_compact
+
+            probe_ids, probe_valid = self.hashing.hash(
+                self.params, queries, n_probes=hash_times, key=key,
+                probe_mode=probe_mode,
+            )
+            ids, _, n_cand = serving_query_compact(
+                self.layout, queries, probe_ids, probe_valid,
+                self.table.counts, k=k,
+            )
+            return ids, n_cand
+        if engine != "xla" and serving_metric:
             return _fused_serve(
                 self.hashing, self.params, self.layout, self.table.counts,
                 queries, key, k=k, hash_times=hash_times,

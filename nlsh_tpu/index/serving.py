@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from nlsh_tpu.ops.pallas.query_kernel import (
-    BLOCK_ROWS,
     ServingLayout,
     _compact_prep,
     _compact_scores,
@@ -92,17 +91,19 @@ def serving_query(
 def _compact_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
                        k: int, b_total: int, max_blocks: int,
                        interpret: bool):
+    br = layout.br  # static (rides the layout's pytree aux)
     qe = extend_queries(layout, queries)
     block_idx, qbe, cnt, q_start, q_nblocks, _ = _compact_prep(
         layout.starts, layout.counts, probe_ids, probe_valid, qe,
         jnp.asarray(layout.cap, jnp.int32), b_total=b_total,
-        max_blocks=max_blocks,
+        max_blocks=max_blocks, block_rows=br,
     )
-    scores = _compact_scores(layout.data, qbe, block_idx, interpret=interpret)
+    scores = _compact_scores(layout.data, qbe, block_idx, interpret=interpret,
+                             block_rows=br)
     if layout.norms is not None:  # euclidean: score = 2q.c - ||c||^2
-        scores = scores - layout.norms.reshape(-1, BLOCK_ROWS)[block_idx]
+        scores = scores - layout.norms.reshape(-1, br)[block_idx]
     # occupancy masking in XLA (keeps per-event metadata out of SMEM)
-    lane = jnp.arange(BLOCK_ROWS, dtype=jnp.int32)
+    lane = jnp.arange(br, dtype=jnp.int32)
     scores = jnp.where(lane[None, :] < cnt[:, None], scores, -jnp.inf)
 
     # per-query top-k over its contiguous block window
@@ -111,13 +112,13 @@ def _compact_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     win = q_start[:, None] + jnp.arange(max_bq, dtype=jnp.int32)  # (nq, maxBQ)
     wvalid = jnp.arange(max_bq)[None, :] < q_nblocks[:, None]
     safe_win = jnp.clip(win, 0, b_total - 1)
-    rows = scores[safe_win]  # (nq, maxBQ, BLOCK_ROWS)
+    rows = scores[safe_win]  # (nq, maxBQ, br)
     rows = jnp.where(wvalid[:, :, None], rows, -jnp.inf)
-    flat = rows.reshape(nq, max_bq * BLOCK_ROWS)
+    flat = rows.reshape(nq, max_bq * br)
     top_scores, arg = jax.lax.top_k(flat, k)
 
-    blk_of = jnp.take_along_axis(safe_win, arg // BLOCK_ROWS, axis=1)
-    pos = block_idx[blk_of] * BLOCK_ROWS + arg % BLOCK_ROWS
+    blk_of = jnp.take_along_axis(safe_win, arg // br, axis=1)
+    pos = block_idx[blk_of] * br + arg % br
     pos = jnp.clip(pos, 0, layout.n_rows - 1)
     ids = layout.row_map[pos]
     ids = jnp.where(jnp.isfinite(top_scores), ids, -1).astype(jnp.int32)
@@ -155,7 +156,7 @@ def serving_query_compact(
     from nlsh_tpu.ops.pallas.query_kernel import _EVENT_BLOCK
 
     nq = queries.shape[0]
-    max_blocks = layout.cap // BLOCK_ROWS
+    max_blocks = layout.cap // layout.br
     out_ids, out_scores, out_cand = [], [], []
     for s in range(0, nq, query_chunk):
         e = min(s + query_chunk, nq)
@@ -191,6 +192,7 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         _grouped_prep_v2, _grouped_scores_v3,
     )
 
+    br = layout.br  # static (rides the layout's pytree aux)
     qe = extend_queries(layout, queries)
     # the grouped path gathers whole query rows in XLA (no single-row
     # dynamic VMEM loads), so queries can ride the layout dtype — bf16
@@ -200,7 +202,7 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         _grouped_prep_v2(
             layout.starts, layout.counts, probe_ids, probe_valid, qe,
             jnp.asarray(layout.cap, jnp.int32), g_total=g_total,
-            max_blocks=max_blocks, group_q=group_q,
+            max_blocks=max_blocks, group_q=group_q, block_rows=br,
         )
     )
     from nlsh_tpu.ops.pallas.query_kernel import (
@@ -218,24 +220,25 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         row_top3, row_lane3 = _grouped_scores_topk(
             layout.data, layout.norms, grp_qvecs, grp_block, grp_cnt,
             has_norms=layout.norms is not None, interpret=interpret,
-            kk=row_k,
+            kk=row_k, block_rows=br,
         )
         kk = row_k
         row_top = row_top3.reshape(g_total * group_q, kk)
         row_lane = row_lane3.reshape(g_total * group_q, kk)
     else:
         scores = _grouped_scores_v3(layout.data, grp_qvecs, grp_block,
-                                    interpret=interpret)  # (g, G, BR)
+                                    interpret=interpret,
+                                    block_rows=br)  # (g, G, BR)
         if layout.norms is not None:  # euclidean: score = 2q.c - ||c||^2
-            scores = scores - layout.norms.reshape(-1, BLOCK_ROWS)[
+            scores = scores - layout.norms.reshape(-1, br)[
                 grp_block][:, None, :]
-        lane = jnp.arange(BLOCK_ROWS, dtype=jnp.int32)
+        lane = jnp.arange(br, dtype=jnp.int32)
         scores = jnp.where(lane[None, None, :] < grp_cnt[:, :, None],
                            scores, -jnp.inf)
 
         # per-score-row top-k first (dense), then regroup per query
-        flat = scores.reshape(g_total * group_q, BLOCK_ROWS)
-        row_top, row_lane = jax.lax.top_k(flat, min(k, BLOCK_ROWS))
+        flat = scores.reshape(g_total * group_q, br)
+        row_top, row_lane = jax.lax.top_k(flat, min(k, br))
         kk = row_top.shape[1]
 
     nq, n_probes = probe_ids.shape
@@ -256,7 +259,7 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     block_sel = jnp.take_along_axis(
         ev_block.reshape(nq, -1), which_ev, axis=1
     )
-    pos = jnp.clip(block_sel * BLOCK_ROWS + lane_sel, 0, layout.n_rows - 1)
+    pos = jnp.clip(block_sel * br + lane_sel, 0, layout.n_rows - 1)
     ids = layout.row_map[pos]
     ids = jnp.where(jnp.isfinite(top_scores), ids, -1).astype(jnp.int32)
     if k_eff < k:
@@ -321,7 +324,7 @@ def serving_query_grouped(
     if group_q is None:
         group_q = int(os.environ.get("NLSH_GROUP_Q", 32))
     nq = queries.shape[0]
-    max_blocks = layout.cap // BLOCK_ROWS
+    max_blocks = layout.cap // layout.br
     out_ids, out_scores, out_cand = [], [], []
     for s in range(0, nq, query_chunk):
         e = min(s + query_chunk, nq)

@@ -71,25 +71,38 @@ class ServingLayout(NamedTuple):
     #                             d=128 streams 128 lanes, not 256, and
     #                             subtracted from scores in XLA after
     #                             the kernel (tiny traffic)
+    block_rows: int = 0  # rows per grouped/compact DMA block; 0 = the
+    #                      module default at SERVE time.  Recorded per
+    #                      layout (round-2 ADVICE: a layout built under
+    #                      one NLSH_BLOCK_ROWS and served under another
+    #                      silently mis-indexed blocks) so low-occupancy
+    #                      tables (10M-scale, mean bucket << 512) can use
+    #                      small blocks while dense ones keep 512
 
     @property
     def n_rows(self) -> int:
         return self.row_map.shape[0]
 
+    @property
+    def br(self) -> int:
+        """The layout's grouped/compact block size in rows."""
+        return self.block_rows if self.block_rows else BLOCK_ROWS
+
     def tree_flatten(self):
         return (
             (self.data, self.row_map, self.starts, self.counts, self.norms),
             (self.cap, self.d_pad, self.align, self.metric,
-             self.total_blocks),
+             self.total_blocks, self.block_rows),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, row_map, starts, counts, norms = children
-        cap, d_pad, align, metric, total_blocks = aux
+        cap, d_pad, align, metric, total_blocks, block_rows = aux
         return cls(data=data, row_map=row_map, starts=starts, counts=counts,
                    cap=cap, d_pad=d_pad, align=align, metric=metric,
-                   total_blocks=total_blocks, norms=norms)
+                   total_blocks=total_blocks, norms=norms,
+                   block_rows=block_rows)
 
 
 def layout_arrays(row_ids: Array, starts: Array, counts: Array,
@@ -157,11 +170,13 @@ def layout_arrays(row_ids: Array, starts: Array, counts: Array,
     return data, row_map, aligned_starts, norms
 
 
-def round_cap(cap: int) -> int:
-    """cap is a whole number of BLOCK_ROWS-row blocks so both the
-    fixed-cap kernel (block index = start / cap) and the compact kernel
-    (block index = start / BLOCK_ROWS) see exact block indices."""
-    return max(_round_up(cap, BLOCK_ROWS), BLOCK_ROWS)
+def round_cap(cap: int, block_rows: int | None = None) -> int:
+    """cap is a whole number of block_rows-row blocks so both the
+    fixed-cap kernel (block index = start / cap) and the grouped/compact
+    kernels (block index = start / block_rows) see exact block
+    indices."""
+    br = block_rows or BLOCK_ROWS
+    return max(_round_up(cap, br), br)
 
 
 def aligned_rows(counts, cap: int, align: int | None = None) -> int:
@@ -180,7 +195,8 @@ def aligned_rows(counts, cap: int, align: int | None = None) -> int:
 
 def serving_layout(table, corpus: Array, metric: str = "cosine",
                    cap: int | None = None,
-                   dtype=jnp.float32, align: int | None = None) -> ServingLayout:
+                   dtype=jnp.float32, align: int | None = None,
+                   block_rows: int | None = None) -> ServingLayout:
     """Build the serving layout from a CSR bucket table.
 
     ``cap`` is the per-probe DMA block size: buckets larger than ``cap``
@@ -190,16 +206,20 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
     ``dtype=jnp.bfloat16`` halves the streamed bytes at the cost of
     bf16 rerank precision — rank flips only among candidates whose
     distances differ below bf16 resolution.
+
+    ``block_rows`` is the grouped/compact DMA block size recorded on the
+    layout (default: the module-level ``BLOCK_ROWS``); low-occupancy
+    tables (mean bucket << 512) waste less padding with smaller blocks.
     """
+    br = block_rows or BLOCK_ROWS
     if cap is None:
         cap = int(table.max_count())
-    cap = round_cap(cap)
-    align = cap if align is None else max(_round_up(align, BLOCK_ROWS),
-                                          BLOCK_ROWS)
+    cap = round_cap(cap, br)
+    align = cap if align is None else max(_round_up(align, br), br)
     counts_np = np.asarray(table.counts)
     n_aligned = aligned_rows(counts_np, cap, align=align)
     total_blocks = int(
-        (-(-np.minimum(counts_np, cap) // BLOCK_ROWS)).sum()
+        (-(-np.minimum(counts_np, cap) // br)).sum()
     )
     data, row_map, aligned_starts, norms = layout_arrays(
         table.row_ids, table.starts, table.counts, corpus,
@@ -210,6 +230,7 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
         data=data, row_map=row_map, starts=aligned_starts,
         counts=table.counts, cap=cap, d_pad=data.shape[1], align=align,
         metric=metric, total_blocks=total_blocks, norms=norms,
+        block_rows=br,
     )
 
 
@@ -272,18 +293,19 @@ def layout_arrays_host(row_ids, starts, counts, corpus, cap: int,
 def serving_layout_host(table, corpus, metric: str = "cosine",
                         cap: int | None = None,
                         dtype=jnp.float32,
-                        align: int | None = None) -> ServingLayout:
+                        align: int | None = None,
+                        block_rows: int | None = None) -> ServingLayout:
     """Host-built :func:`serving_layout`: same result, no device-side
     layout compile (the multi-million-row path, BASELINE config 5)."""
+    br = block_rows or BLOCK_ROWS
     counts_np = np.asarray(table.counts)
     if cap is None:
         cap = int(counts_np.max())
-    cap = round_cap(cap)
-    align = cap if align is None else max(_round_up(align, BLOCK_ROWS),
-                                          BLOCK_ROWS)
+    cap = round_cap(cap, br)
+    align = cap if align is None else max(_round_up(align, br), br)
     n_aligned = aligned_rows(counts_np, cap, align=align)
     total_blocks = int(
-        (-(-np.minimum(counts_np, cap) // BLOCK_ROWS)).sum()
+        (-(-np.minimum(counts_np, cap) // br)).sum()
     )
     data, row_map, aligned_starts, norms = layout_arrays_host(
         table.row_ids, table.starts, counts_np, corpus,
@@ -297,6 +319,7 @@ def serving_layout_host(table, corpus, metric: str = "cosine",
         cap=cap, d_pad=data.shape[1], align=align, metric=metric,
         total_blocks=total_blocks,
         norms=None if norms is None else jnp.asarray(norms),
+        block_rows=br,
     )
 
 
@@ -520,14 +543,22 @@ def _bucket_scores_auto(data, queries_ext, block_idx, counts,
 
 import os as _os_br
 
-# rows per compact block (one DMA).  NLSH_BLOCK_ROWS to experiment:
-# bigger blocks amortize per-DMA/per-group overhead against more
-# per-bucket padding bytes.  Measured on chip at the bench workload
+# DEFAULT rows per compact block (one DMA).  NLSH_BLOCK_ROWS to
+# experiment: bigger blocks amortize per-DMA/per-group overhead against
+# more per-bucket padding bytes.  Measured on chip at the bench workload
 # (mean bucket 289): 128 -> 87.0k QPS (108 GB/s useful), 256 -> 118.5k,
 # 512 -> 153.8k (190 GB/s), 1024 -> 151.6k — per-group overhead, not
-# streamed bytes, sets serve time, so 512 is the default.  Layouts and
-# engines must use the SAME value — it is read once at import.
+# streamed bytes, sets serve time, so 512 is the default.  The value is
+# recorded per layout (``ServingLayout.block_rows``) at build time and
+# every engine derives block indices from the layout's own value, so
+# low-occupancy tables can be built with smaller blocks without any
+# env coordination.
 BLOCK_ROWS = int(_os_br.environ.get("NLSH_BLOCK_ROWS", 512))
+
+
+def _br(block_rows: int | None) -> int:
+    """Resolve a per-call/per-layout block size to the module default."""
+    return block_rows if block_rows else BLOCK_ROWS
 
 
 def _make_compact_kernel(eb: int, block_rows: int, d_pad: int):
@@ -545,20 +576,22 @@ def _make_compact_kernel(eb: int, block_rows: int, d_pad: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _compact_scores(data, qbe, block_idx, interpret: bool):
+@partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def _compact_scores(data, qbe, block_idx, interpret: bool,
+                    block_rows: int | None = None):
     """Score every compact block event: ``(B_total, block_rows)``.
 
     data: (n_aligned, d_pad); qbe: (B_total, d_pad) per-event query
     rows; block_idx: (B_total,) int32 block numbers into `data`.
     """
+    br = block_rows or BLOCK_ROWS
     b_total, d_pad = qbe.shape
     eb = _EVENT_BLOCK
     assert b_total % eb == 0
 
     def corpus_spec(j):
         return pl.BlockSpec(
-            (BLOCK_ROWS, d_pad),
+            (br, d_pad),
             lambda i, blk: (blk[i * eb + j], 0),
             memory_space=pltpu.VMEM,
         )
@@ -570,13 +603,13 @@ def _compact_scores(data, qbe, block_idx, interpret: bool):
             pl.BlockSpec((eb, d_pad), lambda i, blk: (i, 0),
                          memory_space=pltpu.VMEM),
         ] + [corpus_spec(j) for j in range(eb)],
-        out_specs=pl.BlockSpec((eb, BLOCK_ROWS), lambda i, blk: (i, 0),
+        out_specs=pl.BlockSpec((eb, br), lambda i, blk: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_compact_kernel(eb, BLOCK_ROWS, d_pad),
+        _make_compact_kernel(eb, br, d_pad),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_total, BLOCK_ROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_total, br), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -584,15 +617,17 @@ def _compact_scores(data, qbe, block_idx, interpret: bool):
     )(block_idx, qbe, *([data] * eb))
 
 
-@partial(jax.jit, static_argnames=("b_total", "max_blocks"))
+@partial(jax.jit, static_argnames=("b_total", "max_blocks", "block_rows"))
 def _compact_prep(layout_starts, layout_counts, probe_ids, probe_valid,
-                  queries_ext, cap: Array, b_total: int, max_blocks: int):
+                  queries_ext, cap: Array, b_total: int, max_blocks: int,
+                  block_rows: int | None = None):
     """Expand (query, probe) events into the flat block-event stream.
 
     Returns (block_idx (B,), qbe (B, d_pad), cnt (B,), q_start (nq,),
     q_nblocks (nq,)) with B = b_total; unused slots point at block 0
     with cnt 0.
     """
+    BLOCK_ROWS = _br(block_rows)
     nq, n_probes = probe_ids.shape
     safe = jnp.clip(probe_ids, 0, layout_starts.shape[0] - 1)
     counts = jnp.where(
@@ -659,139 +694,6 @@ def _compact_prep(layout_starts, layout_counts, probe_ids, probe_valid,
 GROUP_Q = 8  # queries per group (matmul columns)
 
 
-def _grouped_kernel(grpblk_ref, qgrp_ref, corpus_ref, out_ref):
-    # qgrp (1, G, d_pad); corpus (BLOCK_ROWS, d_pad); out (1, G, BLOCK_ROWS)
-    out_ref[0] = jax.lax.dot_general(
-        qgrp_ref[0], corpus_ref[...].astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def _grouped_scores(data, grp_qvecs, grp_block, interpret: bool):
-    """Score all groups: (g_total, G, BLOCK_ROWS).
-
-    grp_qvecs: (g_total, G, d_pad) query vectors per group;
-    grp_block: (g_total,) int32 block numbers into `data`.
-    """
-    g_total, G, d_pad = grp_qvecs.shape
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(g_total,),
-        in_specs=[
-            pl.BlockSpec((1, G, d_pad), lambda i, blk: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS, d_pad), lambda i, blk: (blk[i], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, G, BLOCK_ROWS), lambda i, blk: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        _grouped_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g_total, G, BLOCK_ROWS), jnp.float32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(grp_block, grp_qvecs, data)
-
-
-def _expand_events(layout_starts, layout_counts, probe_ids, probe_valid,
-                   cap, max_blocks: int):
-    """(query, probe) -> padded block events, block-sorted.
-
-    Returns sorted (keys, qidx, cnt, valid) each (t_pad,), plus the
-    argsort order (t_pad,) for mapping back, with t_pad = nq*P*maxB.
-    """
-    nq, n_probes = probe_ids.shape
-    safe = jnp.clip(probe_ids, 0, layout_starts.shape[0] - 1)
-    counts = jnp.where(
-        probe_valid, jnp.minimum(layout_counts[safe], cap), 0
-    ).astype(jnp.int32)
-    base_block = (layout_starts[safe] // BLOCK_ROWS).astype(jnp.int32)
-
-    e = nq * n_probes
-    j = jnp.arange(max_blocks, dtype=jnp.int32)
-    nb = -(-counts.reshape(e, 1) // BLOCK_ROWS)
-    ev_valid = j[None, :] < nb  # (E, maxB)
-    ev_block = base_block.reshape(e, 1) + j
-    ev_cnt = jnp.clip(counts.reshape(e, 1) - j * BLOCK_ROWS, 0, BLOCK_ROWS)
-    ev_q = jnp.broadcast_to(
-        jnp.repeat(jnp.arange(nq, dtype=jnp.int32), n_probes)[:, None],
-        (e, max_blocks),
-    )
-
-    big = jnp.int32(2**30)
-    key = jnp.where(ev_valid, ev_block, big).reshape(-1)
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
-    return (key[order], ev_q.reshape(-1)[order], ev_cnt.reshape(-1)[order],
-            order, ev_block, ev_valid, counts)
-
-
-@partial(jax.jit, static_argnames=("max_blocks",))
-def count_groups(layout_starts, layout_counts, probe_ids, probe_valid,
-                 cap, max_blocks: int):
-    """Number of (block, <=G queries) groups for this probe batch."""
-    sk, _, _, _, _, _, _ = _expand_events(
-        layout_starts, layout_counts, probe_ids, probe_valid, cap, max_blocks
-    )
-    t_pad = sk.shape[0]
-    svalid = sk < 2**30
-    unique = jnp.concatenate(
-        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
-    )
-    pos = jnp.arange(t_pad, dtype=jnp.int32)
-    first = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(unique, pos, -1)
-    )
-    r = pos - first
-    new_group = (unique | (r % GROUP_Q == 0)) & svalid
-    return jnp.sum(new_group, dtype=jnp.int32)
-
-
-@partial(jax.jit, static_argnames=("g_total", "max_blocks"))
-def _grouped_prep(layout_starts, layout_counts, probe_ids, probe_valid,
-                  queries_ext, cap, g_total: int, max_blocks: int):
-    """Build the group tables + the event->(group row) map."""
-    sk, sq, sc, order, ev_block, ev_valid, counts = _expand_events(
-        layout_starts, layout_counts, probe_ids, probe_valid, cap, max_blocks
-    )
-    t_pad = sk.shape[0]
-    svalid = sk < 2**30
-    unique = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-    pos = jnp.arange(t_pad, dtype=jnp.int32)
-    first = jax.lax.associative_scan(jnp.maximum, jnp.where(unique, pos, -1))
-    r = pos - first
-    new_group = (unique | (r % GROUP_Q == 0)) & svalid
-    g = jnp.cumsum(new_group, dtype=jnp.int32) - 1  # (t_pad,)
-    slot = (r % GROUP_Q).astype(jnp.int32)
-
-    g_safe = jnp.where(svalid, g, g_total)  # drop invalid
-    grp_block = (
-        jnp.zeros((g_total,), jnp.int32).at[g_safe].set(sk, mode="drop")
-    )
-    grp_qidx = (
-        jnp.zeros((g_total, GROUP_Q), jnp.int32)
-        .at[g_safe, slot].set(sq, mode="drop")
-    )
-    grp_cnt = (
-        jnp.zeros((g_total, GROUP_Q), jnp.int32)
-        .at[g_safe, slot].set(sc, mode="drop")
-    )
-    grp_qvecs = queries_ext[grp_qidx]  # (g_total, G, d_pad)
-
-    # event row (into the (g_total*G, BLOCK_ROWS) score matrix), in
-    # ORIGINAL (query-major padded) event order
-    row_sorted = g * GROUP_Q + slot
-    ev_row = (
-        jnp.zeros((t_pad,), jnp.int32).at[order].set(row_sorted)
-    )
-    return grp_block, grp_qvecs, grp_cnt, ev_row, ev_block, ev_valid, counts
-
-
 def _make_grouped_kernel_v3(eb: int):
     """eb groups per grid step: amortises the fixed per-step cost that
     dominates when each step is one small matmul.  Group j's corpus
@@ -820,9 +722,10 @@ import os as _os
 _GROUP_EB = int(_os.environ.get("NLSH_GROUP_EB", 8))
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _grouped_scores_v3(data, grp_qvecs, grp_block, interpret: bool):
-    """Score all groups, eb at a time: ``(g_total, G, BLOCK_ROWS)``.
+@partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def _grouped_scores_v3(data, grp_qvecs, grp_block, interpret: bool,
+                       block_rows: int | None = None):
+    """Score all groups, eb at a time: ``(g_total, G, block_rows)``.
 
     grp_qvecs: ``(g_total, G, d_pad)`` in the LAYOUT dtype (bf16 layouts
     run native bf16xbf16 MXU matmuls); grp_block: ``(g_total,)`` int32.
@@ -830,13 +733,14 @@ def _grouped_scores_v3(data, grp_qvecs, grp_block, interpret: bool):
     are consecutive and mostly land on the same operand slot across
     steps, where Mosaic elides the re-fetch.
     """
+    br = _br(block_rows)
     g_total, G, d_pad = grp_qvecs.shape
     eb = _GROUP_EB
     assert g_total % eb == 0
 
     def corpus_spec(j):
         return pl.BlockSpec(
-            (BLOCK_ROWS, d_pad),
+            (br, d_pad),
             lambda i, blk, j=j: (blk[i * eb + j], 0),
             memory_space=pltpu.VMEM,
         )
@@ -848,13 +752,13 @@ def _grouped_scores_v3(data, grp_qvecs, grp_block, interpret: bool):
             pl.BlockSpec((eb, G, d_pad), lambda i, blk: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [corpus_spec(j) for j in range(eb)],
-        out_specs=pl.BlockSpec((eb, G, BLOCK_ROWS), lambda i, blk: (i, 0, 0),
+        out_specs=pl.BlockSpec((eb, G, br), lambda i, blk: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _make_grouped_kernel_v3(eb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g_total, G, BLOCK_ROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_total, G, br), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -905,15 +809,17 @@ def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("has_norms", "interpret", "kk"))
+@partial(jax.jit, static_argnames=("has_norms", "interpret", "kk",
+                                   "block_rows"))
 def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
                          has_norms: bool, interpret: bool,
-                         kk: int = ROW_TOPK):
+                         kk: int = ROW_TOPK, block_rows: int | None = None):
     """Fused score + per-row top-``kk``.  Returns
     ``(row_top (g_total, G, kk), row_lane (g_total, G, kk))``.  The
     iterative in-kernel top-k costs one VPU max+mask pass per kept
     element, so callers size ``kk`` to what they actually need (the
     per-block distinct count) instead of the ROW_TOPK ceiling."""
+    br = _br(block_rows)
     g_total, G, d_pad = grp_qvecs.shape
     eb = _GROUP_EB
     kk = min(max(int(kk), 1), ROW_TOPK)
@@ -921,18 +827,18 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
 
     def corpus_spec(j):
         return pl.BlockSpec(
-            (BLOCK_ROWS, d_pad),
+            (br, d_pad),
             lambda i, blk, j=j: (blk[i * eb + j], 0),
             memory_space=pltpu.VMEM,
         )
 
     def norms_spec(j):
-        # norms ride as (total_blocks, 1, BLOCK_ROWS): Mosaic requires
+        # norms ride as (total_blocks, 1, block_rows): Mosaic requires
         # the second-to-last block dim divisible by 8 OR equal to the
         # array dim — a size-1 middle axis satisfies the latter, which
-        # a (1, BLOCK_ROWS) block on a 2-D array does not
+        # a (1, block_rows) block on a 2-D array does not
         return pl.BlockSpec(
-            (1, 1, BLOCK_ROWS),
+            (1, 1, br),
             lambda i, blk, j=j: (blk[i * eb + j], 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -946,7 +852,7 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
     operands = [grp_qvecs, grp_cnt] + [data] * eb
     if has_norms:
         in_specs += [norms_spec(j) for j in range(eb)]
-        operands += [norms.reshape(-1, 1, BLOCK_ROWS)] * eb
+        operands += [norms.reshape(-1, 1, br)] * eb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -974,20 +880,21 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
 
 
 def grouped_exact_bound(counts, probe_ids, probe_valid, cap: int,
-                        group_q: int) -> int:
+                        group_q: int, block_rows: int | None = None) -> int:
     """EXACT group count of :func:`_grouped_prep_v2` for a concrete
     probe batch, computed on the host (numpy): ``sum_b nb_b *
     ceil(m_b/G)``.  Low-multiplicity batches (few queries per probed
     bucket) make :func:`grouped_static_bound` several-fold loose, and
     serve time is ~linear in the group table — the one small host sync
     (fetching the probe ids) pays for itself."""
+    br = _br(block_rows)
     counts = np.asarray(counts)
     pid = np.asarray(probe_ids).reshape(-1)
     pv = np.asarray(probe_valid).reshape(-1)
     n_buckets = counts.shape[0]
     ok = pv & (pid >= 0) & (pid < n_buckets)
     m = np.bincount(pid[ok], minlength=n_buckets)
-    nb = -(-np.minimum(counts, cap) // BLOCK_ROWS)
+    nb = -(-np.minimum(counts, cap) // br)
     return int(np.sum(nb * -(-m // group_q)))
 
 
@@ -1048,15 +955,16 @@ def _sorted_probe_events(layout_starts, layout_counts, probe_ids,
     return sk, sq, rank, m, hist, order, counts
 
 
-def _bucket_blocks(layout_counts, cap):
-    """Blocks per bucket under the cap: ceil(min(count, cap)/BLOCK_ROWS)."""
+def _bucket_blocks(layout_counts, cap, block_rows: int | None = None):
+    """Blocks per bucket under the cap: ceil(min(count, cap)/block_rows)."""
     capped = jnp.minimum(layout_counts, cap)
-    return (-(-capped // BLOCK_ROWS)).astype(jnp.int32)
+    return (-(-capped // _br(block_rows))).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("group_q",))
+@partial(jax.jit, static_argnames=("group_q", "block_rows"))
 def count_groups_v2(layout_starts, layout_counts, probe_ids, probe_valid,
-                    cap, group_q: int = GROUP_Q):
+                    cap, group_q: int = GROUP_Q,
+                    block_rows: int | None = None):
     """Closed-form group count — no sort: sum_b nb_b * ceil(m_b / G)."""
     n_buckets = layout_counts.shape[0]
     safe = jnp.clip(probe_ids, 0, n_buckets - 1)
@@ -1066,22 +974,24 @@ def count_groups_v2(layout_starts, layout_counts, probe_ids, probe_valid,
     live = counts > 0
     key = jnp.where(live, safe, n_buckets).reshape(-1)
     hist = jnp.zeros((n_buckets,), jnp.int32).at[key].add(1, mode="drop")
-    nb = _bucket_blocks(layout_counts, cap)
+    nb = _bucket_blocks(layout_counts, cap, block_rows)
     return jnp.sum(nb * (-(-hist // group_q)), dtype=jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("g_total", "max_blocks", "group_q"))
+@partial(jax.jit, static_argnames=("g_total", "max_blocks", "group_q",
+                                   "block_rows"))
 def _grouped_prep_v2(layout_starts, layout_counts, probe_ids, probe_valid,
                      queries_ext, cap, g_total: int, max_blocks: int,
-                     group_q: int = GROUP_Q):
+                     group_q: int = GROUP_Q, block_rows: int | None = None):
     """Group tables + event->row map, with only an (nq*P)-key sort."""
     GROUP_Q = group_q
+    BLOCK_ROWS = _br(block_rows)
     nq, n_probes = probe_ids.shape
     n_buckets = layout_counts.shape[0]
     sk, sq, rank, m, hist, order, counts = _sorted_probe_events(
         layout_starts, layout_counts, probe_ids, probe_valid, cap
     )
-    nb_bucket = _bucket_blocks(layout_counts, cap)  # (NB,)
+    nb_bucket = _bucket_blocks(layout_counts, cap, BLOCK_ROWS)  # (NB,)
     groups_per_j = -(-hist[:n_buckets] // GROUP_Q)  # ceil(m_b/G)
     groups_per_bucket = nb_bucket * groups_per_j
     group_base = jnp.concatenate(
@@ -1154,7 +1064,7 @@ def total_block_events(layout: ServingLayout, probe_ids, probe_valid,
     counts = jnp.where(
         probe_valid, jnp.minimum(layout.counts[safe], cap), 0
     )
-    return int(jnp.sum(-(-counts // BLOCK_ROWS)))
+    return int(jnp.sum(-(-counts // layout.br)))
 
 
 def bucket_scores(layout: ServingLayout, queries_ext: Array,

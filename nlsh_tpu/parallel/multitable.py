@@ -64,9 +64,11 @@ class MultiTableIndexer:
 
     def __init__(self, hashing, stacked_params, corpus, metric="cosine",
                  probe_budget: int | None = None, mesh: Mesh | None = None,
-                 engine: str = "auto", serving_dtype=None):
+                 engine: str = "auto", serving_dtype=None,
+                 block_rows: int | None = None):
         if engine not in ("auto", "xla", "pallas", "pallas-grouped"):
             raise ValueError(f"unknown engine {engine!r}")
+        self.block_rows = block_rows  # None = module default
         if engine == "auto":
             engine = (
                 "pallas-grouped"
@@ -264,17 +266,18 @@ class MultiTableIndexer:
         if self._stacked is not None:
             return self._stacked
         from nlsh_tpu.ops.pallas.query_kernel import (
-            BLOCK_ROWS, aligned_rows, layout_arrays, round_cap,
+            _br, aligned_rows, layout_arrays, round_cap,
         )
 
-        cap = round_cap(int(jnp.max(self.counts)))
-        # grouped engine: BLOCK_ROWS-aligned bucket starts shrink the
-        # stacked (L-copy!) layout ~cap/BLOCK_ROWS-fold vs cap alignment
-        align = BLOCK_ROWS if self.engine == "pallas-grouped" else cap
+        br = _br(self.block_rows)
+        cap = round_cap(int(jnp.max(self.counts)), br)
+        # grouped engine: block-aligned bucket starts shrink the
+        # stacked (L-copy!) layout ~cap/block_rows-fold vs cap alignment
+        align = br if self.engine == "pallas-grouped" else cap
         counts_np = np.asarray(self.counts)  # (L, NB)
         n_aligned = max(aligned_rows(c, cap, align=align) for c in counts_np)
         total_blocks = int(sum(
-            (-(-np.minimum(c, cap) // BLOCK_ROWS)).sum() for c in counts_np
+            (-(-np.minimum(c, cap) // br)).sum() for c in counts_np
         ))
         metric, dtype = self.metric, self.serving_dtype
 
@@ -312,7 +315,8 @@ class MultiTableIndexer:
 
     @staticmethod
     def _flat_layout(data, row_map, astarts, norms, counts, cap, align,
-                     n_aligned, total_blocks, metric):
+                     n_aligned, total_blocks, metric,
+                     block_rows: int = 0):
         """Collapse a (Lc, ...) per-table stack into one flat layout over
         Lc * NB buckets (table-major).  Exact flat block indices need
         ``n_aligned % align == 0`` (aligned_rows guarantees it)."""
@@ -328,6 +332,7 @@ class MultiTableIndexer:
             cap=cap, d_pad=data.shape[-1], align=align, metric=metric,
             total_blocks=total_blocks,
             norms=None if norms is None else norms.reshape(-1),
+            block_rows=block_rows,
         )
 
     @staticmethod
@@ -374,9 +379,12 @@ class MultiTableIndexer:
         gv = gv.reshape(nq, L * n_probes)
         k_fetch = min(k * L, n_probes * L * cap)
 
+        from nlsh_tpu.ops.pallas.query_kernel import _br
+
+        br = _br(self.block_rows)
         layout = self._flat_layout(
             data, row_map, astarts, norms, self.counts, cap, align,
-            n_aligned, total_blocks, self.metric,
+            n_aligned, total_blocks, self.metric, block_rows=br,
         )
         if engine == "pallas-grouped":
             # row_k=k keeps the fused in-kernel top-k: a block holds
@@ -408,15 +416,16 @@ class MultiTableIndexer:
                     self._flat_counts_np,
                     gpv[:, : gp.shape[1]],
                     gpv[:, gp.shape[1]:].astype(bool), cap, G,
+                    block_rows=br,
                 )
                 units = max(-(-g_exact // _GROUP_EB), 1)
                 g_override = _GROUP_EB * (1 << (units - 1).bit_length())
                 from nlsh_tpu.ops.pallas.query_kernel import (
-                    BLOCK_ROWS, grouped_static_bound,
+                    grouped_static_bound,
                 )
 
                 static = grouped_static_bound(
-                    nq * gp.shape[1], cap // BLOCK_ROWS,
+                    nq * gp.shape[1], cap // br,
                     layout.total_blocks, G,
                 )
                 g_override = min(g_override, static)  # never beyond static
@@ -443,6 +452,9 @@ class MultiTableIndexer:
         data, row_map, astarts, norms, cap, align, n_aligned, total_blocks = (
             self._build_stacked()
         )
+        from nlsh_tpu.ops.pallas.query_kernel import _br
+
+        br = _br(self.block_rows)
         cache_key = ("serving", k, engine, queries.shape[0], pids.shape[-1])
         if cache_key not in self._query_cache:
             axis = self.axis
@@ -472,6 +484,7 @@ class MultiTableIndexer:
                 layout = flat_layout(
                     data, row_map, astarts, norms if has_norms else None,
                     counts, cap, align, n_aligned, total_blocks, metric,
+                    block_rows=br,
                 )
                 gp = (jnp.moveaxis(pids, 0, 1)
                       + (jnp.arange(lc, dtype=jnp.int32) * nb)[None, :, None])

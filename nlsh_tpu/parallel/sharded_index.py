@@ -56,9 +56,17 @@ class ShardedIndexer:
     def __init__(self, hashing, params, corpus, mesh: Mesh,
                  metric: str = "cosine", probe_budget: int | None = None,
                  engine: str = "auto", serving_dtype=None,
-                 layout_mode: str = "auto"):
-        if engine not in ("auto", "xla", "pallas", "pallas-grouped"):
+                 layout_mode: str = "auto", block_rows: int | None = None):
+        if engine not in ("auto", "xla", "pallas", "pallas-grouped",
+                          "pallas-compact"):
             raise ValueError(f"unknown engine {engine!r}")
+        if engine == "pallas-compact" and mesh.devices.size > 1:
+            raise ValueError(
+                "pallas-compact sizes its block stream with per-chunk host "
+                "syncs, which cannot live inside one shard_map program; "
+                "use pallas-grouped on multi-device meshes"
+            )
+        self.block_rows = block_rows  # None = module default
         if layout_mode not in ("auto", "device", "host"):
             raise ValueError(f"unknown layout_mode {layout_mode!r}")
         if engine == "auto":
@@ -194,21 +202,23 @@ class ShardedIndexer:
         if self._layouts is not None:
             return self._layouts
         from nlsh_tpu.ops.pallas.query_kernel import (
-            BLOCK_ROWS, aligned_rows, layout_arrays, layout_arrays_host,
+            _br, aligned_rows, layout_arrays, layout_arrays_host,
             round_cap,
         )
 
-        cap = round_cap(int(jnp.max(self.counts)))
-        # the grouped engine indexes blocks by start/BLOCK_ROWS, so its
-        # layout only needs BLOCK_ROWS-aligned bucket starts — ~3x less
-        # HBM than cap alignment at 10M rows x 16k buckets; the
+        br = _br(self.block_rows)
+        cap = round_cap(int(jnp.max(self.counts)), br)
+        # the grouped/compact engines index blocks by start/block_rows,
+        # so their layouts only need block-aligned bucket starts — ~3x
+        # less HBM than cap alignment at 10M rows x 16k buckets; the
         # fixed-cap engine (start/cap block index) keeps cap alignment
-        align = BLOCK_ROWS if self.engine == "pallas-grouped" else cap
+        align = br if self.engine in ("pallas-grouped",
+                                      "pallas-compact") else cap
         counts_np = np.asarray(self.counts)  # (D, n_buckets)
         n_aligned = max(aligned_rows(c, cap, align=align) for c in counts_np)
         # shard-uniform static group bound: the largest shard's blocks
         total_blocks = int(max(
-            (-(-np.minimum(c, cap) // BLOCK_ROWS)).sum() for c in counts_np
+            (-(-np.minimum(c, cap) // br)).sum() for c in counts_np
         ))
         axis, metric = self.axis, self.metric
         euclid = metric in ("euclidean", "sq_euclidean")
@@ -288,11 +298,12 @@ class ShardedIndexer:
         from nlsh_tpu.index.serving import (
             serving_query, serving_query_grouped,
         )
-        from nlsh_tpu.ops.pallas.query_kernel import ServingLayout
+        from nlsh_tpu.ops.pallas.query_kernel import ServingLayout, _br
 
         data, row_map, astarts, norms, cap, align, total_blocks = (
             self._build_layouts()
         )
+        br = _br(self.block_rows)
         d_pad = data.shape[-1]
         axis, metric, n_local = self.axis, self.metric, self.n_local
         hashing = self.hashing
@@ -315,7 +326,7 @@ class ShardedIndexer:
                     data=data[0], row_map=row_map[0], starts=astarts[0],
                     counts=counts[0], cap=cap, d_pad=d_pad, align=align,
                     metric=metric, norms=norms[0] if has_norms else None,
-                    total_blocks=total_blocks,
+                    total_blocks=total_blocks, block_rows=br,
                 )
                 if engine == "pallas-grouped":
                     ids, _, ncand = serving_query_grouped(
@@ -346,7 +357,7 @@ class ShardedIndexer:
                 data=data[0], row_map=row_map[0], starts=astarts[0],
                 counts=counts[0], cap=cap, d_pad=d_pad, align=align,
                 metric=metric, norms=norms[0] if has_norms else None,
-                total_blocks=total_blocks,
+                total_blocks=total_blocks, block_rows=br,
             )
             serve = (serving_query_grouped if engine == "pallas-grouped"
                      else serving_query)
@@ -435,9 +446,34 @@ class ShardedIndexer:
             key = jax.random.PRNGKey(0)
         queries = jnp.asarray(queries)
         engine = self.engine
-        if engine in ("pallas", "pallas-grouped") and self.metric in (
-            "cosine", "euclidean", "sq_euclidean"
-        ):
+        serving_metric = self.metric in ("cosine", "euclidean",
+                                         "sq_euclidean")
+        if engine == "pallas-compact" and serving_metric:
+            # single-device only (ctor enforces): the compact engine's
+            # per-chunk host sync sizes the block stream to the probed
+            # occupancy — byte-proportional streaming on high-skew tables
+            from nlsh_tpu.index.serving import serving_query_compact
+            from nlsh_tpu.ops.pallas.query_kernel import ServingLayout, _br
+
+            data, row_map, astarts, norms, cap, align, total_blocks = (
+                self._build_layouts()
+            )
+            layout = ServingLayout(
+                data=data[0], row_map=row_map[0], starts=astarts[0],
+                counts=self.counts[0], cap=cap, d_pad=data.shape[-1],
+                align=align, metric=self.metric,
+                norms=None if norms is None else norms[0],
+                total_blocks=total_blocks, block_rows=_br(self.block_rows),
+            )
+            pids, pvalid = self.hashing.hash(
+                self.params, queries, n_probes=hash_times, key=key,
+                probe_mode=probe_mode,
+            )
+            ids, _, ncand = serving_query_compact(
+                layout, queries, pids, pvalid, self.counts[0], k=k,
+            )
+            return jnp.concatenate([ids, ncand[:, None]], axis=1)
+        if engine in ("pallas", "pallas-grouped") and serving_metric:
             data, row_map, astarts, norms, cap, _, _ = self._build_layouts()
             if norms is None:
                 norms = jnp.zeros((data.shape[0], 0), jnp.float32)
@@ -454,7 +490,8 @@ class ShardedIndexer:
                 # probe batches where the static bound is several-fold
                 # loose (see MultiTableIndexer, where it wins 4x).
                 from nlsh_tpu.ops.pallas.query_kernel import (
-                    _GROUP_EB, grouped_exact_bound,
+                    _GROUP_EB, _br, grouped_exact_bound,
+                    grouped_static_bound,
                 )
 
                 probe_ids, probe_valid = self.hashing.hash(
@@ -462,12 +499,20 @@ class ShardedIndexer:
                     probe_mode=probe_mode,
                 )
                 G = int(os.environ.get("NLSH_GROUP_Q", 32))
+                br = _br(self.block_rows)
                 g_exact = grouped_exact_bound(
                     np.asarray(self.counts[0]), np.asarray(probe_ids),
-                    np.asarray(probe_valid), cap, G,
+                    np.asarray(probe_valid), cap, G, block_rows=br,
                 )
                 units = max(-(-g_exact // _GROUP_EB), 1)
                 g_override = _GROUP_EB * (1 << (units - 1).bit_length())
+                # never beyond the no-sync static bound (it would
+                # allocate a LARGER table + an extra compile variant)
+                _, _, _, _, _, _, total_blocks = self._layouts
+                g_override = min(g_override, grouped_static_bound(
+                    queries.shape[0] * probe_ids.shape[1], cap // br,
+                    total_blocks, G,
+                ))
             q = self._serving_query_fn(k, engine, hash_times, probe_mode,
                                        g_override)
             return q(
