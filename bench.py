@@ -9,22 +9,29 @@ reported alongside.  ``vs_baseline`` is QPS / 100_000 — the
 north-star ≥100k QPS/chip target (the reference itself publishes no
 numbers; see BASELINE.md).
 
-Dataset: ann-benchmarks files are not shipped in this image, so the
-workload is synthetic clustered data with the exact glove-100 shape
-(1.18M corpus x 100 dims, 10k queries, cosine), with ground truth from
-the exact MXU brute-force search.  A short triplet fit on a corpus
-subset stands in for the full training run (training quality is
+Dataset: ann-benchmarks files are not shipped in this image and the
+image has no network egress (verified round 3 — DNS resolution fails),
+so the workload is synthetic clustered data with the exact glove-100
+shape (1.18M corpus x 100 dims, 10k queries, cosine), with ground
+truth from the exact MXU brute-force search.  A short triplet fit on a
+corpus subset stands in for the full training run (training quality is
 covered by tests; this file measures the serving path).
+
+Robustness (round-2 VERDICT #1): everything deterministic in SEED —
+ground truth, subset self-kNN, AND the trained parameters — is cached
+on disk keyed by the workload constants, so a driver run spends its
+~8-minute budget on measurement instead of recomputation, and the
+timing loop takes min over many reps of a deep pipeline so one
+degraded relay window (5 ms..200 s observed for the same op) cannot
+own the recorded number.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
-
-# NLSH_EVENT_BLOCK tunes events/program in the serving kernel; the
-# default 8 compiles fastest and matches 16 on this workload
 
 import numpy as np
 
@@ -37,6 +44,35 @@ HASH_TIMES = 16
 TRAIN_SUBSET = 131_072
 TRAIN_STEPS = 1000
 SEED = 0
+# trainer hyper-parameters (part of the params cache key)
+TRAIN_CFG = dict(margin=0.5, positive_k=20, balance_lambda=1.5,
+                 batch_size=2048, learning_rate=1e-3, encoder="siren",
+                 hidden=(256, 256))
+
+# timing loop: R serving batches fused into ONE dispatch per rep, min
+# over REPS reps.  At R=16 a degraded 45 ms relay window costs ~90 ms
+# against ~1 s of device work (<10%), and the min over 10 widely-spaced
+# reps dodges multi-second relay stalls that 3 reps (round 2) did not.
+PIPELINE_DEPTH = int(os.environ.get("NLSH_BENCH_PIPELINE", 16))
+REPS = int(os.environ.get("NLSH_BENCH_REPS", 10))
+# skip the engine-parity smoke if the run is already past this many
+# seconds (fresh caches + slow remote compiles): never lose the
+# headline line to the smoke
+PARITY_DEADLINE_S = float(os.environ.get("NLSH_BENCH_PARITY_DEADLINE", 420))
+
+CACHE_DIR = os.environ.get("NLSH_BENCH_CACHE_DIR", "/tmp/nlsh_bench_cache")
+
+
+def _workload_key() -> str:
+    return (f"s{SEED}_n{N_CORPUS}_d{DIM}_q{N_QUERIES}_k{K}"
+            f"_ts{TRAIN_SUBSET}")
+
+
+def _train_key() -> str:
+    cfg = dict(TRAIN_CFG, hash_size=HASH_SIZE, hash_times=HASH_TIMES,
+               steps=TRAIN_STEPS)
+    blob = json.dumps(cfg, sort_keys=True).encode()
+    return f"{_workload_key()}_{hashlib.sha1(blob).hexdigest()[:10]}"
 
 
 class _BenchData:
@@ -84,14 +120,158 @@ def _relay_roundtrip_ms() -> float:
     return round(best * 1000, 1)
 
 
+# ---------------------------------------------------------------------------
+# disk caches — every entry keyed by the workload constants and verified
+# on load (round-2 ADVICE: a fixed /tmp path silently served stale GT
+# when any constant changed)
+# ---------------------------------------------------------------------------
+
+def _load_or_compute_gt(corpus_np, queries_np, sub_idx):
+    """(gt, sub_knn, gt_s, knn_s) with a keyed, self-verifying cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlsh_tpu.ops.knn import knn, self_knn
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"gt_{_workload_key()}.npz")
+    meta = np.array([SEED, N_CORPUS, DIM, N_QUERIES, K, TRAIN_SUBSET],
+                    np.int64)
+    if os.path.exists(path):
+        z = np.load(path)
+        if "meta" in z and np.array_equal(z["meta"], meta):
+            return z["gt"], z["sub_knn"], 0.0, 0.0
+    # migrate the round-2 unkeyed cache (same constants, verified by
+    # shape) so the first round-3 run doesn't pay the 10-minute GT
+    # recompute through a possibly-degraded remote compile window
+    legacy = "/tmp/nlsh_bench_gt_cache.npz"
+    if os.path.exists(legacy):
+        z = np.load(legacy)
+        if ("gt" in z and z["gt"].shape == (N_QUERIES, K)
+                and z["sub_knn"].shape[0] == TRAIN_SUBSET):
+            np.savez(path, gt=z["gt"], sub_knn=z["sub_knn"], meta=meta)
+            return z["gt"], z["sub_knn"], 0.0, 0.0
+
+    t0 = time.perf_counter()
+    _, gt = knn(jnp.asarray(queries_np), jnp.asarray(corpus_np), k=K,
+                metric="cosine", query_tile=1024, corpus_chunk=131_072)
+    gt = np.asarray(jax.block_until_ready(gt))
+    gt_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sub_knn = np.asarray(self_knn(jnp.asarray(corpus_np[sub_idx]), k=20,
+                                  metric="cosine",
+                                  query_tile=1024, corpus_chunk=131_072))
+    knn_s = time.perf_counter() - t0
+    np.savez(path, gt=gt, sub_knn=sub_knn, meta=meta)
+    return gt, sub_knn, gt_s, knn_s
+
+
+def _load_or_train_params(hashing, data):
+    """(hashing params, train_s) — training is deterministic in SEED,
+    so the fitted params are cached exactly like the ground truth
+    (round-2 VERDICT #1: retraining burned 523 s of the ~600 s driver
+    budget every run)."""
+    from flax import serialization
+
+    import jax
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"params_{_train_key()}.msgpack")
+    like = hashing.init(jax.random.PRNGKey(0))
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            params = serialization.from_bytes(like, f.read())
+        return params, 0.0
+
+    from nlsh_tpu.train import TripletTrainer
+
+    trainer = TripletTrainer(
+        hashing, data, "/tmp", margin=TRAIN_CFG["margin"],
+        positive_k=TRAIN_CFG["positive_k"],
+        balance_lambda=TRAIN_CFG["balance_lambda"],
+    )
+    t0 = time.perf_counter()
+    state = trainer.fit(K=K, batch_size=TRAIN_CFG["batch_size"],
+                        learning_rate=TRAIN_CFG["learning_rate"],
+                        epochs=100, test_every_updates=100_000,
+                        max_steps=TRAIN_STEPS, hash_times=HASH_TIMES,
+                        seed=SEED)
+    train_s = time.perf_counter() - t0
+    params = state.params["hashing"]
+    blob = serialization.to_bytes(jax.tree.map(np.asarray, params))
+    with open(path, "wb") as f:
+        f.write(blob)
+    return params, train_s
+
+
+# ---------------------------------------------------------------------------
+# engine-parity smoke (round-2 VERDICT #2): a Mosaic regression in any
+# serving engine/metric must fail the bench line, not ship silently.
+# Interpret-mode CI can't catch kernels that are Mosaic-illegal or
+# miscompiled on the real chip.
+# ---------------------------------------------------------------------------
+
+def _id_agreement(a_top: np.ndarray, b_top: np.ndarray) -> float:
+    """Mean per-query top-k id set overlap."""
+    return float(np.mean([
+        len(set(ra[ra >= 0]) & set(rb[rb >= 0])) / max((ra >= 0).sum(), 1)
+        for ra, rb in zip(a_top, b_top)
+    ]))
+
+
+def _engine_parity(corpus_np, queries_np, hashing, params):
+    """Run a ~65k-row slice through every engine for BOTH metrics on
+    the real chip.  Two checks per metric:
+
+    * every Pallas engine >= 0.98 id agreement with the XLA path run
+      under f32 matmul precision (a systematic layout/kernel corruption
+      gives ~0 agreement; legitimate fp rank-boundary ties cost ~1%) —
+      the reference-semantics anchor (``nlsh/indexer.py:56-96``);
+    * the three Pallas engines >= 0.999 agreement with EACH OTHER —
+      they share the layout but use independent kernels and preps, so a
+      Mosaic regression in any one of them breaks mutual agreement.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nlsh_tpu.index import Indexer
+
+    n_small, nq, k = 65_536, 512, K
+    corpus = jnp.asarray(corpus_np[:n_small])
+    queries = jnp.asarray(queries_np[:nq])
+    qkey = jax.random.PRNGKey(SEED + 2)
+    engines = ("pallas", "pallas-grouped", "pallas-compact")
+    out, ok = {}, True
+    for metric in ("cosine", "euclidean"):
+        # ONE table + layout per metric; engines are a serve-time switch
+        idx = Indexer(hashing, params, corpus, metric=metric, engine="xla")
+        with jax.default_matmul_precision("float32"):
+            r_top, _ = idx.query(queries, k=k, hash_times=HASH_TIMES,
+                                 key=qkey, probe_mode="flip")
+        tops = {}
+        for engine in engines:
+            idx.engine = engine
+            e_top, _ = idx.query(queries, k=k, hash_times=HASH_TIMES,
+                                 key=qkey, probe_mode="flip")
+            tops[engine] = np.asarray(e_top)
+            agree = _id_agreement(np.asarray(r_top), tops[engine])
+            out[f"{metric}:{engine}:xla"] = round(agree, 4)
+            ok &= agree >= 0.98
+        for i, e1 in enumerate(engines):
+            for e2 in engines[i + 1:]:
+                agree = _id_agreement(tops[e1], tops[e2])
+                out[f"{metric}:{e1}:{e2}"] = round(agree, 4)
+                ok &= agree >= 0.999
+    return out, ok
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from nlsh_tpu.index import Indexer
     from nlsh_tpu.models import get_encoder, get_hashing
-    from nlsh_tpu.ops.knn import knn, self_knn
-    from nlsh_tpu.train import TripletTrainer
     from nlsh_tpu.utils.metrics import calculate_recall
 
     t_start = time.perf_counter()
@@ -101,53 +281,31 @@ def main():
     corpus = jnp.asarray(corpus_np)
     queries = jnp.asarray(queries_np)
 
-    # -- exact ground truth on the MXU ----------------------------------
-    # GT and subset self-kNN are deterministic in SEED; cache them on
-    # disk — the remote compile helper has multi-minute latency windows
-    # (a GT compile was observed at 592 s) and the driver's bench budget
-    # is ~8 min.  NLSH_BENCH_GT_CACHE= disables.
-    import os
-
-    cache = os.environ.get("NLSH_BENCH_GT_CACHE",
-                           "/tmp/nlsh_bench_gt_cache.npz")
+    # -- exact ground truth on the MXU (keyed disk cache) ---------------
     sub_idx = rng.choice(N_CORPUS, TRAIN_SUBSET, replace=False)
-    if cache and os.path.exists(cache):
-        z = np.load(cache)
-        gt, sub_knn = z["gt"], z["sub_knn"]
-        subset = corpus_np[sub_idx]
-        gt_s = knn_s = 0.0
-    else:
-        t0 = time.perf_counter()
-        _, gt = knn(queries, corpus, k=K, metric="cosine",
-                    query_tile=1024, corpus_chunk=131_072)
-        gt = np.asarray(jax.block_until_ready(gt))
-        gt_s = time.perf_counter() - t0
+    gt, sub_knn, gt_s, knn_s = _load_or_compute_gt(
+        corpus_np, queries_np, sub_idx
+    )
 
-        subset = corpus_np[sub_idx]
-        t0 = time.perf_counter()
-        sub_knn = np.asarray(self_knn(jnp.asarray(subset), k=20,
-                                      metric="cosine",
-                                      query_tile=1024, corpus_chunk=131_072))
-        knn_s = time.perf_counter() - t0
-        if cache:
-            np.savez(cache, gt=gt, sub_knn=sub_knn)
-
-    data = _BenchData(subset, queries_np[:256], gt[:256], sub_knn, "cosine")
-    enc = get_encoder("siren", DIM, [256, 256])
+    data = _BenchData(corpus_np[sub_idx], queries_np[:256], gt[:256],
+                      sub_knn, "cosine")
+    enc = get_encoder(TRAIN_CFG["encoder"], DIM, list(TRAIN_CFG["hidden"]))
     hashing = get_hashing("MultivariateBernoulli", enc, HASH_SIZE)
-    trainer = TripletTrainer(hashing, data, "/tmp", margin=0.5, positive_k=20,
-                            balance_lambda=1.5)
-    t0 = time.perf_counter()
-    state = trainer.fit(K=K, batch_size=2048, learning_rate=1e-3,
-                        epochs=100, test_every_updates=100_000,
-                        max_steps=TRAIN_STEPS, hash_times=HASH_TIMES,
-                        seed=SEED)
-    train_s = time.perf_counter() - t0
-    params = state.params["hashing"]
+    params, train_s = _load_or_train_params(hashing, data)
 
     # -- index build on the FULL corpus (the build-time metric) ---------
     # bf16 layout: halves streamed bytes; grouped engine runs native
-    # bf16 MXU matmuls (recall impact < 1e-3 at this operating point)
+    # bf16 MXU matmuls (recall impact < 1e-3 at this operating point).
+    # Timed twice: the first build carries one-off jit compiles whose
+    # duration is set by the remote compile helper (13-155 s observed
+    # for the same program), the second is the steady-state rebuild
+    # rate a production reindex would see — reported as build_s, with
+    # the cold time alongside.
+    t0 = time.perf_counter()
+    indexer = Indexer(hashing, params, corpus, metric="cosine",
+                      serving_dtype=jnp.bfloat16)
+    jax.block_until_ready(indexer.table.row_ids)
+    build_cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     indexer = Indexer(hashing, params, corpus, metric="cosine",
                       serving_dtype=jnp.bfloat16)
@@ -169,32 +327,29 @@ def main():
             indexer._layout = None  # rebuild serving layout at this cap
             top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
                                         key=qkey, probe_mode="flip")  # warm
-            # throughput timing: R back-to-back async dispatches with all
-            # fetches at the END of the timed region, so the relay's
-            # ~5-6 ms per-dispatch/fetch cost overlaps device execution
-            # the way a pipelined serving loop would run (per-call-fetch
-            # timing is a floor estimate — CLAUDE.md); the per-call
-            # number is reported alongside as qps_unpipelined
-            from nlsh_tpu.index.indexer import _fused_serve
+            # throughput timing: PIPELINE_DEPTH full serving batches run
+            # inside ONE compiled program (lax.map), so one dispatch +
+            # one fetch amortise the relay's per-call cost (5 ms
+            # healthy, >40 ms degraded) over R*10k queries — round-2's
+            # R async dispatches still paid R relay round-trips, which
+            # owned the number whenever a degraded window lasted the
+            # whole run.  The per-call number (1 dispatch per 10k
+            # queries, fetch every call) is reported alongside as
+            # qps_unpipelined — the latency-bound floor.
+            from nlsh_tpu.index.indexer import _fused_serve_batched
             grouped = engine == "pallas-grouped"
-            R = 4
             times, times1 = [], []
-            # 3 reps: the relay has multi-second latency windows and the
-            # recorded number is min-of-reps
-            for _ in range(3):
+            batched = lambda: _fused_serve_batched(  # noqa: E731
+                indexer.hashing, indexer.params, indexer.layout,
+                indexer.table.counts, queries, qkey, k=K,
+                hash_times=HASH_TIMES, probe_mode="flip",
+                grouped=grouped, repeats=PIPELINE_DEPTH,
+            )
+            np.asarray(batched())  # compile + warm
+            for _ in range(REPS):
                 t0 = time.perf_counter()
-                outs = [
-                    _fused_serve(
-                        indexer.hashing, indexer.params, indexer.layout,
-                        indexer.table.counts, queries, qkey, k=K,
-                        hash_times=HASH_TIMES, probe_mode="flip",
-                        grouped=grouped,
-                    )
-                    for _ in range(R)
-                ]
-                for o in outs:
-                    np.asarray(o)
-                times.append((time.perf_counter() - t0) / R)
+                np.asarray(batched())
+                times.append((time.perf_counter() - t0) / PIPELINE_DEPTH)
                 t0 = time.perf_counter()
                 top, n_cand = indexer.query(
                     queries, k=K, hash_times=HASH_TIMES, key=qkey,
@@ -231,6 +386,22 @@ def main():
     eligible = [s for s in sweep if s["recall"] >= exact_recall - 0.01]
     best = max(eligible, key=lambda s: s["qps"])
 
+    # -- engine-parity smoke on the real chip (time-guarded) ------------
+    parity: dict | None = None
+    parity_ok = None
+    elapsed = time.perf_counter() - t_start
+    if elapsed < PARITY_DEADLINE_S:
+        try:
+            parity, parity_ok = _engine_parity(
+                corpus_np, queries_np, hashing, params
+            )
+        except Exception as e:
+            print(f"parity smoke failed: {e!r}", flush=True)
+            parity_ok = False
+    else:
+        print(f"parity smoke skipped: {elapsed:.0f}s elapsed "
+              f"(deadline {PARITY_DEADLINE_S:.0f}s)", flush=True)
+
     result = {
         "metric": "qps_glove100_shape_1.18M_recall_constrained",
         "value": round(best["qps"], 1),
@@ -244,7 +415,15 @@ def main():
             {k: (round(v, 4) if isinstance(v, float) else v)
              for k, v in s.items()} for s in sweep
         ],
+        # Pallas engines >= 0.98 id agreement vs the f32 XLA path AND
+        # >= 0.999 with each other, per metric, measured on this chip
+        # (null = smoke skipped for time, never silently)
+        "engine_parity_ok": parity_ok,
+        "engine_parity": parity,
+        "reps": REPS,
+        "pipeline_depth": PIPELINE_DEPTH,
         "build_s": round(build_s, 2),
+        "build_cold_s": round(build_cold_s, 2),
         "train_s": round(train_s, 1),
         "gt_s": round(gt_s, 1),
         "subset_knn_s": round(knn_s, 1),
