@@ -77,6 +77,10 @@ def nlsh_argparse() -> argparse.ArgumentParser:
                    help="multi-probe strategy for eval queries: Bernoulli "
                         "sampling (reference behaviour) or deterministic "
                         "least-confident-bit flips")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel training over the first N devices "
+                        "(1-D mesh, per-chip batch shards, gradient pmean "
+                        "over ICI); default single-device")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--resume_from", type=str, default=None)
@@ -213,6 +217,13 @@ def main(argv: list[str] | None = None):
         "NLSH_MODEL_SAVE_DIR", "/tmp/nlsh_models"
     )
 
+    # multi-host wiring must happen before ANY device use (SURVEY §5
+    # distributed-backend item): a no-op unless NLSH_COORDINATOR /
+    # NLSH_AUTO_DISTRIBUTED env vars are set
+    from nlsh_tpu.parallel.multihost import initialize_from_env
+
+    initialize_from_env()
+
     print("=== read data ===")
     data = get_data_by_id(args.data_id)
     data.load()
@@ -228,6 +239,14 @@ def main(argv: list[str] | None = None):
         logger.meta(params={"n_tables": args.n_tables})
         learner = MultiTableTrainer(learner, args.n_tables)
 
+    mesh = None
+    if args.n_devices is not None and args.n_devices > 1:
+        # data-parallel fit (SURVEY §2 extension (b))
+        from nlsh_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices, axis="data")
+        logger.meta(params={"n_devices": args.n_devices})
+
     print("Start training")
     return learner.fit(
         K=args.k,
@@ -240,6 +259,7 @@ def main(argv: list[str] | None = None):
         seed=args.seed,
         max_steps=args.max_steps,
         resume_from=args.resume_from,
+        mesh=mesh,
     )
 
 

