@@ -228,7 +228,7 @@ def _engine_parity(corpus_np, queries_np, hashing, params):
       under f32 matmul precision (a systematic layout/kernel corruption
       gives ~0 agreement; legitimate fp rank-boundary ties cost ~1%) —
       the reference-semantics anchor (``nlsh/indexer.py:56-96``);
-    * the three Pallas engines >= 0.999 agreement with EACH OTHER —
+    * the Pallas engines >= 0.999 agreement with EACH OTHER —
       they share the layout but use independent kernels and preps, so a
       Mosaic regression in any one of them breaks mutual agreement.
     """
@@ -241,7 +241,8 @@ def _engine_parity(corpus_np, queries_np, hashing, params):
     corpus = jnp.asarray(corpus_np[:n_small])
     queries = jnp.asarray(queries_np[:nq])
     qkey = jax.random.PRNGKey(SEED + 2)
-    engines = ("pallas", "pallas-grouped", "pallas-compact")
+    engines = ("pallas", "pallas-grouped", "pallas-compact",
+               "pallas-windowed")
     out, ok = {}, True
     for metric in ("cosine", "euclidean"):
         # ONE table + layout per metric; engines are a serve-time switch

@@ -59,20 +59,29 @@ def hash_corpus_host(hashing, params, corpus_np, chunk: int = 262_144):
 @partial(jax.jit, static_argnames=("hashing", "k", "hash_times",
                                    "probe_mode", "grouped"))
 def _fused_serve(hashing, params, layout, full_counts, queries, key,
-                 k: int, hash_times: int, probe_mode: str, grouped: bool):
+                 k: int, hash_times: int, probe_mode: str, grouped):
     """Hash + probe + serve in ONE compiled program returning ONE packed
     array ``(nq, k+1)`` of ``[topk_ids, n_candidates]``.
+
+    ``grouped`` selects the serving kernel: ``True``/``"grouped"``,
+    ``False``/``"fixed"``, or ``"windowed"``.
 
     Through this environment's relay every dispatch and every host
     fetch costs tens of ms; the unfused path (hash dispatch, serve
     dispatch, two result fetches) pays that 4x per query batch.
     """
-    from nlsh_tpu.index.serving import serving_query, serving_query_grouped
+    from nlsh_tpu.index.serving import (
+        serving_query, serving_query_grouped, serving_query_windowed,
+    )
 
     probe_ids, probe_valid = hashing.hash(
         params, queries, n_probes=hash_times, key=key, probe_mode=probe_mode
     )
-    serve = serving_query_grouped if grouped else serving_query
+    serve = {
+        True: serving_query_grouped, "grouped": serving_query_grouped,
+        False: serving_query, "fixed": serving_query,
+        "windowed": serving_query_windowed,
+    }[grouped]
     ids, _, n_cand = serve(
         layout, queries, probe_ids, probe_valid, full_counts, k=k
     )
@@ -83,7 +92,7 @@ def _fused_serve(hashing, params, layout, full_counts, queries, key,
                                    "probe_mode", "grouped", "repeats"))
 def _fused_serve_batched(hashing, params, layout, full_counts, queries, key,
                          k: int, hash_times: int, probe_mode: str,
-                         grouped: bool, repeats: int):
+                         grouped, repeats: int):
     """``repeats`` full :func:`_fused_serve` batches inside ONE compiled
     program (``lax.map``), returning ``(repeats, nq, k+1)``.
 
@@ -128,8 +137,11 @@ class Indexer:
     #: streaming kernel), ``pallas-grouped`` (bucket-grouped MXU matmuls
     #: — the TPU default), ``pallas-compact`` (skew-proof block-event
     #: stream; one host sync per query chunk to size it — wins on
-    #: high-skew tables where a few huge buckets force everyone's cap up)
-    ENGINES = ("auto", "xla", "pallas", "pallas-grouped", "pallas-compact")
+    #: high-skew tables where a few huge buckets force everyone's cap
+    #: up), ``pallas-windowed`` (dense layout + fixed windows — wins
+    #: when the mean bucket is far below the block size)
+    ENGINES = ("auto", "xla", "pallas", "pallas-grouped", "pallas-compact",
+               "pallas-windowed")
 
     def __init__(
         self,
@@ -177,10 +189,14 @@ class Indexer:
                 and self.corpus.shape[0] >= self.HOST_LAYOUT_ROWS
             )
             build = serving_layout_host if host else serving_layout
+            # the windowed engine reads dense (8-row-aligned) layouts;
+            # block/cap-aligned engines raise on them, so an engine
+            # switch after first use needs a fresh layout
+            align = 8 if self.engine == "pallas-windowed" else None
             self._layout = build(
                 self.table, self.corpus, metric=self.metric,
                 cap=self.probe_budget, dtype=self.serving_dtype,
-                block_rows=self.block_rows,
+                block_rows=self.block_rows, align=align,
             )
         return self._layout
 
@@ -229,10 +245,12 @@ class Indexer:
             )
             return ids, n_cand
         if engine != "xla" and serving_metric:
+            serve = {"pallas-grouped": "grouped", "pallas": "fixed",
+                     "pallas-windowed": "windowed"}[engine]
             return _fused_serve(
                 self.hashing, self.params, self.layout, self.table.counts,
                 queries, key, k=k, hash_times=hash_times,
-                probe_mode=probe_mode, grouped=engine == "pallas-grouped",
+                probe_mode=probe_mode, grouped=serve,
             )
         probe_ids, probe_valid = self.hashing.hash(
             self.params, queries, n_probes=hash_times, key=key,

@@ -92,6 +92,13 @@ def _compact_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
                        k: int, b_total: int, max_blocks: int,
                        interpret: bool):
     br = layout.br  # static (rides the layout's pytree aux)
+    if layout.align % br:
+        raise ValueError(
+            "the compact engine indexes blocks by start/block_rows and "
+            f"needs block-aligned bucket starts (align={layout.align}, "
+            f"block_rows={br}); dense layouts serve via the windowed "
+            "engine"
+        )
     qe = extend_queries(layout, queries)
     block_idx, qbe, cnt, q_start, q_nblocks, _ = _compact_prep(
         layout.starts, layout.counts, probe_ids, probe_valid, qe,
@@ -193,6 +200,13 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     )
 
     br = layout.br  # static (rides the layout's pytree aux)
+    if layout.align % br:
+        raise ValueError(
+            "the grouped engine indexes blocks by start/block_rows and "
+            f"needs block-aligned bucket starts (align={layout.align}, "
+            f"block_rows={br}); dense layouts serve via the windowed "
+            "engine"
+        )
     qe = extend_queries(layout, queries)
     # the grouped path gathers whole query rows in XLA (no single-row
     # dynamic VMEM loads), so queries can ride the layout dtype — bf16
@@ -347,6 +361,158 @@ def serving_query_grouped(
         ids, scores, n_cand = _grouped_query_jit(
             layout, qs, pid, pv, full_counts,
             k=k, g_total=g_total, max_blocks=max_blocks, group_q=group_q,
+            interpret=interpret, row_k=row_k,
+        )
+        out_ids.append(ids[:c])
+        out_scores.append(scores[:c])
+        out_cand.append(n_cand[:c])
+    if len(out_ids) == 1:
+        return out_ids[0], out_scores[0], out_cand[0]
+    return (
+        jnp.concatenate(out_ids, 0),
+        jnp.concatenate(out_scores, 0),
+        jnp.concatenate(out_cand, 0),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "g_total", "max_sub", "group_q",
+                                   "interpret", "row_k"))
+def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
+                        k: int, g_total: int, max_sub: int, group_q: int,
+                        interpret: bool, row_k: int | None = None):
+    from nlsh_tpu.ops.pallas.query_kernel import (
+        ROW_TOPK, _windowed_prep, _windowed_scores, _windowed_scores_topk,
+    )
+
+    br = layout.br  # static (rides the layout's pytree aux)
+    qe = extend_queries(layout, queries)
+    qe = qe.astype(layout.data.dtype)  # bf16 layouts: native bf16 MXU
+    grp_window, grp_qvecs, grp_lo, grp_hi, ev_row, ev_window, ev_valid = (
+        _windowed_prep(
+            layout.starts, layout.counts, probe_ids, probe_valid, qe,
+            jnp.asarray(layout.cap, jnp.int32), g_total=g_total,
+            max_sub=max_sub, group_q=group_q, block_rows=br,
+        )
+    )
+
+    if row_k is None:
+        row_k = k
+    if row_k <= ROW_TOPK:
+        row_top3, row_lane3 = _windowed_scores_topk(
+            layout.data, layout.norms, grp_qvecs, grp_window, grp_lo,
+            grp_hi, has_norms=layout.norms is not None, interpret=interpret,
+            kk=row_k, block_rows=br,
+        )
+        kk = row_k
+        row_top = row_top3.reshape(g_total * group_q, kk)
+        row_lane = row_lane3.reshape(g_total * group_q, kk)
+    else:
+        scores = _windowed_scores(layout.data, grp_qvecs, grp_window,
+                                  interpret=interpret, block_rows=br)
+        if layout.norms is not None:  # euclidean: score = 2q.c - ||c||^2
+            scores = scores - layout.norms.reshape(-1, br)[
+                grp_window][:, None, :]
+        lane = jnp.arange(br, dtype=jnp.int32)
+        scores = jnp.where(
+            (lane[None, None, :] >= grp_lo[:, :, None])
+            & (lane[None, None, :] < grp_hi[:, :, None]),
+            scores, -jnp.inf,
+        )
+        flat = scores.reshape(g_total * group_q, br)
+        row_top, row_lane = jax.lax.top_k(flat, min(k, br))
+        kk = row_top.shape[1]
+
+    nq, n_probes = probe_ids.shape
+    ev_row3 = ev_row.reshape(nq, n_probes * max_sub)
+    ev_valid2 = ev_valid.reshape(nq, n_probes * max_sub)
+    safe_rows = jnp.clip(ev_row3, 0, g_total * group_q - 1)
+    ev_top = row_top[safe_rows]      # (nq, maxPJ, kk)
+    ev_lane = row_lane[safe_rows]
+    ev_top = jnp.where(ev_valid2[:, :, None], ev_top, -jnp.inf)
+
+    flat_top = ev_top.reshape(nq, -1)
+    k_eff = min(k, flat_top.shape[1])
+    top_scores, arg = jax.lax.top_k(flat_top, k_eff)
+    which_ev = arg // kk
+    lane_sel = jnp.take_along_axis(ev_lane.reshape(nq, -1), arg, axis=1)
+    window_sel = jnp.take_along_axis(
+        ev_window.reshape(nq, -1), which_ev, axis=1
+    )
+    pos = jnp.clip(window_sel * br + lane_sel, 0, layout.n_rows - 1)
+    ids = layout.row_map[pos]
+    ids = jnp.where(jnp.isfinite(top_scores), ids, -1).astype(jnp.int32)
+    if k_eff < k:
+        pad = k - k_eff
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)),
+                             constant_values=-jnp.inf)
+
+    safe = jnp.clip(probe_ids, 0, full_counts.shape[0] - 1)
+    n_cand = jnp.sum(
+        jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
+    )
+    return ids, top_scores, n_cand
+
+
+def serving_query_windowed(
+    layout: ServingLayout,
+    queries: Array,
+    probe_ids: Array,
+    probe_valid: Array,
+    full_counts: Array,
+    k: int,
+    interpret: bool | None = None,
+    query_chunk: int = 16384,
+    group_q: int | None = None,
+    row_k: int | None = None,
+    g_total_override: int | None = None,
+) -> tuple[Array, Array, Array]:
+    """Dense-window serving path — the low-occupancy engine.
+
+    Works on ANY layout alignment (windows are fixed ``block_rows``-row
+    tiles of the data array; bucket starts ride as [lo, hi) mask values,
+    not DMA offsets), but pays off on DENSE layouts (``align=8``) of
+    tables whose mean bucket is far below the block size: neighbouring
+    buckets share windows, so the group count collapses from
+    #probed-buckets to #probed-windows and the streamed bytes carry no
+    per-bucket padding.  Multi-table ensembles (mean bucket ~50 at
+    BASELINE config 4) and 10M-scale tables (~120) are the targets;
+    dense tables with big buckets should keep the grouped engine.
+    Exact whenever ``layout.cap`` covers the probed buckets.
+    """
+    import jax as _jax
+
+    from nlsh_tpu.ops.pallas.query_kernel import (
+        _GROUP_EB, GROUP_W, windowed_static_bound,
+    )
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
+    if group_q is None:
+        group_q = int(os.environ.get("NLSH_GROUP_Q", GROUP_W))
+    nq = queries.shape[0]
+    max_sub = layout.cap // layout.br + 1
+    total_windows = layout.n_rows // layout.br
+    out_ids, out_scores, out_cand = [], [], []
+    for s in range(0, nq, query_chunk):
+        e = min(s + query_chunk, nq)
+        c = e - s
+        c_pad = min(query_chunk, nq) if s == 0 else query_chunk
+        pid = probe_ids[s:e]
+        pv = probe_valid[s:e]
+        qs = queries[s:e]
+        if c < c_pad:
+            pid = jnp.pad(pid, ((0, c_pad - c), (0, 0)))
+            pv = jnp.pad(pv, ((0, c_pad - c), (0, 0)))
+            qs = jnp.pad(qs, ((0, c_pad - c), (0, 0)))
+        g_bound = (g_total_override if g_total_override is not None
+                   else windowed_static_bound(
+                       c_pad * pid.shape[1], max_sub, total_windows,
+                       group_q))
+        g_total = _round_up(max(g_bound, 1), _GROUP_EB)
+        ids, scores, n_cand = _windowed_query_jit(
+            layout, qs, pid, pv, full_counts,
+            k=k, g_total=g_total, max_sub=max_sub, group_q=group_q,
             interpret=interpret, row_k=row_k,
         )
         out_ids.append(ids[:c])

@@ -215,9 +215,11 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
     if cap is None:
         cap = int(table.max_count())
     cap = round_cap(cap, br)
-    align = cap if align is None else max(_round_up(align, br), br)
+    align = cap if align is None else max(_round_up(align, 8), 8)
     counts_np = np.asarray(table.counts)
-    n_aligned = aligned_rows(counts_np, cap, align=align)
+    # whole-window padding tail: every engine indexes blocks/windows of
+    # br rows, so the data row count is a multiple of br
+    n_aligned = _round_up(aligned_rows(counts_np, cap, align=align), br)
     total_blocks = int(
         (-(-np.minimum(counts_np, cap) // br)).sum()
     )
@@ -302,8 +304,8 @@ def serving_layout_host(table, corpus, metric: str = "cosine",
     if cap is None:
         cap = int(counts_np.max())
     cap = round_cap(cap, br)
-    align = cap if align is None else max(_round_up(align, br), br)
-    n_aligned = aligned_rows(counts_np, cap, align=align)
+    align = cap if align is None else max(_round_up(align, 8), 8)
+    n_aligned = _round_up(aligned_rows(counts_np, cap, align=align), br)
     total_blocks = int(
         (-(-np.minimum(counts_np, cap) // br)).sum()
     )
@@ -1053,6 +1055,288 @@ def _grouped_prep_v2(layout_starts, layout_counts, probe_ids, probe_valid,
         jnp.zeros((e_total, max_blocks), jnp.int32).at[order].set(blockno)
     )
     return grp_block, grp_qvecs, grp_cnt, ev_row, ev_block, ev_valid
+
+
+# ---------------------------------------------------------------------------
+# v5: dense-window grouped kernel — low-occupancy tables
+# ---------------------------------------------------------------------------
+#
+# The grouped kernel's grid is one group per (bucket block, <=G probing
+# queries), so its floor is the number of DISTINCT PROBED (bucket,
+# block) cells — and with block-aligned layouts every bucket owns at
+# least one whole block.  Tables whose mean bucket is far below the
+# block size (multi-table ensembles: ~50-row buckets vs 512-row blocks;
+# 10M-scale: ~120) therefore pay a full group AND a full block of
+# mostly-padding DMA per probed bucket.
+#
+# Here the layout is packed DENSE (bucket starts 8-row aligned, no
+# per-bucket block padding) and the grouping unit is the fixed
+# `block_rows`-row WINDOW of that dense layout: neighbouring buckets
+# share windows, every query slot carries its bucket's [lo, hi) row
+# range inside the window as data, and the kernel masks lanes outside
+# it.  Group count collapses from #probed-buckets to #probed-windows
+# (~ n_rows/W of them in total), and streamed bytes are dense.
+# A bucket spans at most cap//W + 1 windows (sub-events).
+
+GROUP_W = 32  # default queries per windowed group
+
+
+def windowed_static_bound(n_events: int, max_sub: int, total_windows: int,
+                          group_q: int) -> int:
+    """Static upper bound on the windowed group count for ANY probe
+    batch of ``n_events`` events: ``sum_w ceil(m_w/G) <= sum_w m_w/G +
+    #probed windows <= E*maxJ/G + min(total_windows, E*maxJ)``.  Dense
+    layouts make ``total_windows ~ n/W``, so this is tight without any
+    host sync even at high query counts."""
+    sub_events = n_events * max_sub
+    probed = min(total_windows, sub_events) if total_windows > 0 \
+        else sub_events
+    return int(-(-sub_events // group_q) + probed)
+
+
+@partial(jax.jit, static_argnames=("g_total", "max_sub", "group_q",
+                                   "block_rows"))
+def _windowed_prep(layout_starts, layout_counts, probe_ids, probe_valid,
+                   queries_ext, cap, g_total: int, max_sub: int,
+                   group_q: int = GROUP_W, block_rows: int | None = None):
+    """Expand (query, probe) events into window sub-events, sort by
+    window, and build the group tables.
+
+    Returns ``(grp_window (g,), grp_qvecs (g, G, d), grp_lo (g, G),
+    grp_hi (g, G), ev_row (E, maxJ), ev_window (E, maxJ),
+    ev_valid (E, maxJ))`` — empty group slots carry lo=hi=0 (masked).
+    The sort is over ``E*maxJ`` keys (maxJ = cap//W + 1, usually 2),
+    unlike the deleted v1 block-event sort whose key count scaled with
+    cap/W per event.
+    """
+    W = _br(block_rows)
+    nq, n_probes = probe_ids.shape
+    n_buckets = layout_counts.shape[0]
+    safe = jnp.clip(probe_ids, 0, n_buckets - 1)
+    counts = jnp.where(
+        probe_valid, jnp.minimum(layout_counts[safe], cap), 0
+    ).astype(jnp.int32)
+    starts = layout_starts[safe].astype(jnp.int32)
+
+    e = nq * n_probes
+    st = starts.reshape(e)
+    ct = counts.reshape(e)
+    j = jnp.arange(max_sub, dtype=jnp.int32)
+    wj = st[:, None] // W + j  # (E, maxJ) candidate windows
+    lo = jnp.maximum(st[:, None] - wj * W, 0)
+    hi = jnp.minimum(st[:, None] + ct[:, None] - wj * W, W)
+    sub_valid = (ct[:, None] > 0) & (hi > lo)
+    qidx = jnp.repeat(jnp.arange(nq, dtype=jnp.int32), n_probes)  # (E,)
+
+    big = jnp.int32(2**30)
+    key = jnp.where(sub_valid, wj, big).reshape(-1)  # (E*maxJ,)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sk = key[order]
+    s_lo = lo.reshape(-1)[order]
+    s_hi = jnp.where(sub_valid, hi, 0).reshape(-1)[order]
+    s_q = jnp.broadcast_to(qidx[:, None], (e, max_sub)).reshape(-1)[order]
+
+    t = sk.shape[0]
+    svalid = sk < big
+    pos = jnp.arange(t, dtype=jnp.int32)
+    unique = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    first = jax.lax.associative_scan(jnp.maximum, jnp.where(unique, pos, -1))
+    rank = pos - first
+    new_group = (unique | (rank % group_q == 0)) & svalid
+    g = jnp.cumsum(new_group, dtype=jnp.int32) - 1
+    slot = (rank % group_q).astype(jnp.int32)
+    g_safe = jnp.where(svalid, g, g_total)
+
+    grp_window = (
+        jnp.zeros((g_total,), jnp.int32)
+        .at[g_safe].set(jnp.where(svalid, sk, 0), mode="drop")
+    )
+    grp_qidx = (
+        jnp.zeros((g_total, group_q), jnp.int32)
+        .at[g_safe, slot].set(s_q, mode="drop")
+    )
+    grp_lo = (
+        jnp.zeros((g_total, group_q), jnp.int32)
+        .at[g_safe, slot].set(s_lo, mode="drop")
+    )
+    grp_hi = (  # zeros: empty slots mask every lane
+        jnp.zeros((g_total, group_q), jnp.int32)
+        .at[g_safe, slot].set(s_hi, mode="drop")
+    )
+    grp_qvecs = queries_ext[grp_qidx]
+
+    row_sorted = jnp.where(svalid, g * group_q + slot, 0)
+    ev_row = (
+        jnp.zeros((t,), jnp.int32).at[order].set(row_sorted)
+    ).reshape(e, max_sub)
+    ev_valid = (
+        jnp.zeros((t,), bool).at[order].set(svalid)
+    ).reshape(e, max_sub)
+    ev_window = (
+        jnp.zeros((t,), jnp.int32)
+        .at[order].set(jnp.where(svalid, sk, 0))
+    ).reshape(e, max_sub)
+    return grp_window, grp_qvecs, grp_lo, grp_hi, ev_row, ev_window, ev_valid
+
+
+def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool):
+    """Grouped-topk kernel over dense windows: identical matmul + fused
+    per-row top-k, but each query slot masks to its own [lo, hi) lane
+    range (its bucket's extent within the window) instead of a 0-based
+    occupancy count."""
+
+    def kernel(grpwin_ref, qgrp_ref, lo_ref, hi_ref, *refs):
+        out_s_ref = refs[-2]
+        out_l_ref = refs[-1]
+        corpus_refs = refs[: eb]
+        norms_refs = refs[eb: 2 * eb] if has_norms else None
+        br = corpus_refs[0].shape[0]
+        for j in range(eb):
+            s = jax.lax.dot_general(
+                qgrp_ref[j], corpus_refs[j][...].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, W)
+            if has_norms:
+                s = s - norms_refs[j][0]
+            g = s.shape[0]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (g, br), 1)
+            s = jnp.where(
+                (lane >= lo_ref[j][:, None]) & (lane < hi_ref[j][:, None]),
+                s, -jnp.inf,
+            )
+            cols_s, cols_l = [], []
+            for _ in range(kk):  # iterative max: kk cheap VPU passes
+                m = jnp.max(s, axis=1, keepdims=True)
+                idx = jnp.min(
+                    jnp.where(s == m, lane, jnp.int32(br)),
+                    axis=1, keepdims=True,
+                )
+                cols_s.append(m[:, 0])
+                cols_l.append(jnp.minimum(idx[:, 0], br - 1))
+                s = jnp.where(lane == idx, -jnp.inf, s)
+            out_s_ref[j] = jnp.stack(cols_s, axis=1)
+            out_l_ref[j] = jnp.stack(cols_l, axis=1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("has_norms", "interpret", "kk",
+                                   "block_rows"))
+def _windowed_scores_topk(data, norms, grp_qvecs, grp_window, grp_lo, grp_hi,
+                          has_norms: bool, interpret: bool,
+                          kk: int = ROW_TOPK, block_rows: int | None = None):
+    """Fused windowed score + per-row top-``kk``.  Returns
+    ``(row_top (g_total, G, kk), row_lane (g_total, G, kk))``."""
+    br = _br(block_rows)
+    g_total, G, d_pad = grp_qvecs.shape
+    eb = _GROUP_EB
+    kk = min(max(int(kk), 1), ROW_TOPK)
+    assert g_total % eb == 0
+
+    def corpus_spec(j):
+        return pl.BlockSpec(
+            (br, d_pad),
+            lambda i, blk, j=j: (blk[i * eb + j], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def norms_spec(j):
+        return pl.BlockSpec(
+            (1, 1, br),
+            lambda i, blk, j=j: (blk[i * eb + j], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        pl.BlockSpec((eb, G, d_pad), lambda i, blk: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, G), lambda i, blk: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((eb, G), lambda i, blk: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [corpus_spec(j) for j in range(eb)]
+    operands = [grp_qvecs, grp_lo, grp_hi] + [data] * eb
+    if has_norms:
+        in_specs += [norms_spec(j) for j in range(eb)]
+        operands += [norms.reshape(-1, 1, br)] * eb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g_total // eb,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((eb, G, kk), lambda i, blk: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((eb, G, kk), lambda i, blk: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        _make_windowed_topk_kernel(eb, kk, has_norms),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((g_total, G, kk), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, G, kk), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(grp_window, *operands)
+
+
+def _make_windowed_kernel(eb: int):
+    """Dense windowed score panels (no fused top-k) — the wide-k
+    fallback; masking happens in XLA afterwards."""
+
+    def kernel(grpwin_ref, qgrp_ref, *refs):
+        out_ref = refs[-1]
+        for j in range(eb):
+            out_ref[j] = jax.lax.dot_general(
+                qgrp_ref[j], refs[j][...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def _windowed_scores(data, grp_qvecs, grp_window, interpret: bool,
+                     block_rows: int | None = None):
+    """Score all windowed groups: ``(g_total, G, block_rows)``."""
+    br = _br(block_rows)
+    g_total, G, d_pad = grp_qvecs.shape
+    eb = _GROUP_EB
+    assert g_total % eb == 0
+
+    def corpus_spec(j):
+        return pl.BlockSpec(
+            (br, d_pad),
+            lambda i, blk, j=j: (blk[i * eb + j], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g_total // eb,),
+        in_specs=[
+            pl.BlockSpec((eb, G, d_pad), lambda i, blk: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [corpus_spec(j) for j in range(eb)],
+        out_specs=pl.BlockSpec((eb, G, br), lambda i, blk: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_windowed_kernel(eb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g_total, G, br), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(grp_window, grp_qvecs, *([data] * eb))
 
 
 def total_block_events(layout: ServingLayout, probe_ids, probe_valid,

@@ -66,12 +66,17 @@ class MultiTableIndexer:
                  probe_budget: int | None = None, mesh: Mesh | None = None,
                  engine: str = "auto", serving_dtype=None,
                  block_rows: int | None = None):
-        if engine not in ("auto", "xla", "pallas", "pallas-grouped"):
+        if engine not in ("auto", "xla", "pallas", "pallas-grouped",
+                          "pallas-windowed"):
             raise ValueError(f"unknown engine {engine!r}")
         self.block_rows = block_rows  # None = module default
         if engine == "auto":
+            # windowed: ensemble tables have L*NB buckets over one
+            # corpus, so the mean bucket is far below the block size —
+            # the dense-window engine's design point (group count ~
+            # probed windows, not probed buckets)
             engine = (
-                "pallas-grouped"
+                "pallas-windowed"
                 if jax.default_backend() == "tpu"
                 and metric in ("cosine", "euclidean", "sq_euclidean")
                 else "xla"
@@ -272,10 +277,18 @@ class MultiTableIndexer:
         br = _br(self.block_rows)
         cap = round_cap(int(jnp.max(self.counts)), br)
         # grouped engine: block-aligned bucket starts shrink the
-        # stacked (L-copy!) layout ~cap/block_rows-fold vs cap alignment
-        align = br if self.engine == "pallas-grouped" else cap
+        # stacked (L-copy!) layout ~cap/block_rows-fold vs cap
+        # alignment; windowed engine: DENSE 8-row-aligned starts (its
+        # whole point — ensemble buckets are far smaller than a block,
+        # so block alignment is ~90% padding bytes AND a group per
+        # probed bucket)
+        align = {"pallas-grouped": br, "pallas-windowed": 8}.get(
+            self.engine, cap)
         counts_np = np.asarray(self.counts)  # (L, NB)
-        n_aligned = max(aligned_rows(c, cap, align=align) for c in counts_np)
+        # multiple of br so the stacked (table, window) space is exact
+        n_aligned = -(-max(
+            aligned_rows(c, cap, align=align) for c in counts_np
+        ) // br) * br
         total_blocks = int(sum(
             (-(-np.minimum(c, cap) // br)).sum() for c in counts_np
         ))
@@ -356,12 +369,12 @@ class MultiTableIndexer:
         return merged, top
 
     def _query_serving(self, queries, pids, pvalid, k: int, engine: str):
-        """One grouped/fixed-cap serving call over the stacked layout +
-        duplicate-id collapse.  ``n_candidates`` is the summed probed
-        occupancy across tables (an upper bound on distinct candidates;
-        the XLA engine reports the exact distinct count)."""
+        """One windowed/grouped/fixed-cap serving call over the stacked
+        layout + duplicate-id collapse.  ``n_candidates`` is the summed
+        probed occupancy across tables (an upper bound on distinct
+        candidates; the XLA engine reports the exact distinct count)."""
         from nlsh_tpu.index.serving import (
-            serving_query, serving_query_grouped,
+            serving_query, serving_query_grouped, serving_query_windowed,
         )
 
         data, row_map, astarts, norms, cap, align, n_aligned, total_blocks = (
@@ -386,7 +399,16 @@ class MultiTableIndexer:
             data, row_map, astarts, norms, self.counts, cap, align,
             n_aligned, total_blocks, self.metric, block_rows=br,
         )
-        if engine == "pallas-grouped":
+        if engine == "pallas-windowed":
+            # dense windows: the static bound (~probed windows) is
+            # tight by construction, so no exact-bound host sync is
+            # needed (the grouped engine's 4x win from the sync came
+            # from its bucket-granular group floor, which this engine
+            # removes)
+            ids, scores, n_cand = serving_query_windowed(
+                layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
+            )
+        elif engine == "pallas-grouped":
             # row_k=k keeps the fused in-kernel top-k: a block holds
             # distinct corpus rows, so k per block survives the
             # cross-table duplicate collapse that k_fetch=k*L guards.
@@ -446,7 +468,7 @@ class MultiTableIndexer:
         stacked layout, per-device (score, id) top lists merge over ICI
         with duplicate-id suppression."""
         from nlsh_tpu.index.serving import (
-            serving_query, serving_query_grouped,
+            serving_query, serving_query_grouped, serving_query_windowed,
         )
 
         data, row_map, astarts, norms, cap, align, n_aligned, total_blocks = (
@@ -465,8 +487,10 @@ class MultiTableIndexer:
             flat_layout = self._flat_layout
             dedupe_topk = self._dedupe_topk
             has_norms = norms is not None
-            serve = (serving_query_grouped if engine == "pallas-grouped"
-                     else serving_query)
+            serve = {
+                "pallas-grouped": serving_query_grouped,
+                "pallas-windowed": serving_query_windowed,
+            }.get(engine, serving_query)
 
             @jax.jit
             @partial(
@@ -490,7 +514,7 @@ class MultiTableIndexer:
                       + (jnp.arange(lc, dtype=jnp.int32) * nb)[None, :, None])
                 gv = jnp.moveaxis(pvalid, 0, 1)
                 k_fetch = min(k * lc, n_probes * lc * cap)
-                if engine == "pallas-grouped":
+                if engine in ("pallas-grouped", "pallas-windowed"):
                     ids, scores, n_cand = serve(
                         layout, qs, gp.reshape(nq, -1), gv.reshape(nq, -1),
                         layout.counts, k=k_fetch, row_k=k,
@@ -543,7 +567,7 @@ class MultiTableIndexer:
         if engine == "auto":
             engine = "pallas-grouped" if jax.default_backend() == "tpu" \
                 else "xla"
-        if (engine in ("pallas", "pallas-grouped")
+        if (engine in ("pallas", "pallas-grouped", "pallas-windowed")
                 and self.metric in ("cosine", "euclidean", "sq_euclidean")):
             if self.mesh is None:
                 return self._query_serving(queries, pids, pvalid, k, engine)

@@ -228,7 +228,7 @@ def test_sharded_grouped_and_host_layout_match_xla(data):
     assert (np.sort(g_top, 1) == np.sort(x_top, 1)).mean() > 0.99
 
 
-@pytest.mark.parametrize("engine", ["pallas", "pallas-grouped"])
+@pytest.mark.parametrize("engine", ["pallas", "pallas-grouped", "pallas-windowed"])
 def test_multitable_stacked_engines_match_xla(data, engine):
     """Round-2 stacked single-layout serving (one call for all L
     tables) must reproduce the XLA union-rerank path."""
@@ -248,7 +248,7 @@ def test_multitable_stacked_engines_match_xla(data, engine):
     assert (np.sort(p_top, 1) == np.sort(x_top, 1)).mean() > 0.99
 
 
-@pytest.mark.parametrize("engine", ["pallas", "pallas-grouped"])
+@pytest.mark.parametrize("engine", ["pallas", "pallas-grouped", "pallas-windowed"])
 def test_multitable_sharded_stacked_matches_unsharded(data, engine):
     """Table-sharded stacked serving (mesh) == unsharded stacked."""
     from nlsh_tpu.parallel.multitable import MultiTableIndexer, init_multi_table

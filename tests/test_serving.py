@@ -454,3 +454,85 @@ def test_sharded_compact_engine_multi_device_rejected():
     with pytest.raises(ValueError, match="pallas-compact"):
         ShardedIndexer(hashing, params, corpus, mesh,
                        engine="pallas-compact")
+
+
+@pytest.mark.parametrize("block_rows", [128, 512])
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_windowed_matches_xla_path(metric, block_rows):
+    """Dense-window engine (v5) against the XLA reference: dense
+    8-row-aligned layout, buckets sharing windows, per-slot [lo, hi)
+    masks; exact whenever cap covers the probed buckets."""
+    from nlsh_tpu.index.serving import serving_query_windowed
+
+    rng = np.random.default_rng(41)
+    n, d, nb, nq, P, k = 900, 24, 32, 33, 6, 7
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    # skewed buckets: some span multiple windows, most share one
+    bucket_ids = jnp.asarray(
+        np.minimum(rng.geometric(0.15, n) - 1, nb - 1).astype(np.int32)
+    )
+    probe_raw = np.sort(rng.integers(0, nb, (nq, P)).astype(np.int32), axis=1)
+    probe_valid = jnp.asarray(np.concatenate(
+        [np.ones((nq, 1), bool), probe_raw[:, 1:] != probe_raw[:, :-1]],
+        axis=1,
+    ))
+    probe_ids = jnp.asarray(probe_raw)
+
+    table = build_bucket_table(bucket_ids, nb)
+    x_top, _, x_cand = query_bucket_table(
+        table, corpus, queries, probe_ids, probe_valid, k=k,
+        probe_budget=int(table.max_count()), metric=metric, query_chunk=8,
+    )
+    layout = serving_layout(table, corpus, metric=metric, align=8,
+                            block_rows=block_rows)
+    assert layout.align == 8
+    assert layout.n_rows % block_rows == 0
+    # dense: layout carries at most 7 pad rows per bucket + window tail
+    assert layout.n_rows <= n + 7 * nb + layout.cap + 2 * block_rows
+
+    for row_k in (k, 64):  # fused in-kernel top-k AND the wide-k path
+        w_top, w_scores, w_cand = serving_query_windowed(
+            layout, queries, probe_ids, probe_valid, table.counts, k=k,
+            interpret=True, row_k=row_k,
+        )
+        np.testing.assert_array_equal(np.asarray(w_cand), np.asarray(x_cand))
+        assert (np.asarray(x_top) == np.asarray(w_top)).mean() > 0.98
+        s = np.asarray(w_scores)
+        for i in range(nq):
+            v = s[i][np.isfinite(s[i])]
+            assert (np.diff(v) <= 1e-5).all()
+
+
+def test_indexer_windowed_engine():
+    rng = np.random.default_rng(17)
+    n, d, nq, k = 800, 16, 40, 5
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    enc = MLPEncoder(d, (32,))
+    hashing = MultivariateBernoulli(enc, 6)
+    params = hashing.init(jax.random.PRNGKey(0))
+
+    ref = Indexer(hashing, params, corpus, engine="xla")
+    r_top, r_cand = ref.query(queries, k=k, hash_times=4, probe_mode="flip")
+    idx = Indexer(hashing, params, corpus, engine="pallas-windowed")
+    w_top, w_cand = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    np.testing.assert_array_equal(w_cand, r_cand)
+    assert (r_top == w_top).mean() > 0.98
+
+
+def test_grouped_engine_rejects_dense_layout():
+    from nlsh_tpu.index.serving import serving_query_grouped
+
+    rng = np.random.default_rng(12)
+    n, d, nb = 300, 16, 8
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    bucket_ids = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
+    table = build_bucket_table(bucket_ids, nb)
+    layout = serving_layout(table, corpus, metric="cosine", align=8)
+    queries = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+    pid = jnp.zeros((4, 2), jnp.int32)
+    pv = jnp.ones((4, 2), bool)
+    with pytest.raises(ValueError, match="windowed"):
+        serving_query_grouped(layout, queries, pid, pv, table.counts, k=3,
+                              interpret=True)
