@@ -64,8 +64,10 @@ CACHE_DIR = os.environ.get("NLSH_BENCH_CACHE_DIR", "/tmp/nlsh_bench_cache")
 
 
 def _workload_key() -> str:
+    # v2: GT at matmul precision "highest" (exact f32 ranking; the v1
+    # caches were single-pass-bf16-ranked at the top-k boundary)
     return (f"s{SEED}_n{N_CORPUS}_d{DIM}_q{N_QUERIES}_k{K}"
-            f"_ts{TRAIN_SUBSET}")
+            f"_ts{TRAIN_SUBSET}_v2")
 
 
 def _train_key() -> str:

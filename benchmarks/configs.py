@@ -208,6 +208,11 @@ def config_4(n_train=200_000):
         lambda q: idx.query_async(q, k=10, hash_times=1),
         jnp.asarray(data.testing), np.asarray(data.ground_truth),
     )
+    # engine-independent query_size: the timed path reports an
+    # occupancy upper bound on the Pallas engines (VERDICT weak #7)
+    m["query_size"] = round(float(np.mean(
+        idx.exact_query_size(jnp.asarray(data.testing), hash_times=1)
+    )), 1)
     return {"config": "4_multitable_L8", "train_s": round(train_s, 1),
             "build_s": round(build_s, 2), **m}
 

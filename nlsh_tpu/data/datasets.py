@@ -186,7 +186,10 @@ class SyntheticDataset(Dataset):
                                 "k", "seed", "unit_ball",
                                 "compute_self_knn")
         )
-        return os.path.join(cache_dir, f"synth_{self.metric}_{key}.npz")
+        # v2: GT/self-kNN computed at matmul precision "highest" (true
+        # f32) — the v1 caches held single-pass-bf16-ranked neighbours,
+        # which scramble the rank-k boundary on near-tied data
+        return os.path.join(cache_dir, f"synth_{self.metric}_{key}_v2.npz")
 
     def load(self):
         import os

@@ -34,7 +34,8 @@ def _pad_rows(x: Array, multiple: int) -> tuple[Array, int]:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "metric", "query_tile", "corpus_chunk", "exclude_self"),
+    static_argnames=("k", "metric", "query_tile", "corpus_chunk", "exclude_self",
+                     "precision"),
 )
 def knn(
     queries: Array,
@@ -45,6 +46,7 @@ def knn(
     corpus_chunk: int = 65536,
     exclude_self: bool = False,
     query_ids: Array | None = None,
+    precision: str = "highest",
 ) -> tuple[Array, Array]:
     """Exact k-NN of ``queries`` against ``corpus``.
 
@@ -59,6 +61,14 @@ def knn(
         query's own id (requires ``query_ids``; the reference instead
         drops top-1 of top-(k+1), ``precompute.py:66``).
       query_ids: ``(nq,)`` global ids of the queries in ``corpus``.
+      precision: matmul precision for the distance blocks.  The default
+        ``"highest"`` makes GROUND TRUTH exact (true f32, matching the
+        reference's precomputed hdf5 GT): the TPU's default single-pass
+        bf16 matmul reorders near-tied neighbours at the rank-k
+        boundary, i.e. the "ground truth" itself would be rounded.
+        Training-time neighbour mining (:func:`self_knn` callers) may
+        pass ``"default"`` — mined positives/negatives don't need
+        boundary exactness and the fast path is ~3x cheaper.
 
     Returns:
       ``(dists, ids)`` of shape ``(nq, k)``, ascending distance.
@@ -87,7 +97,8 @@ def knn(
             chunk = jax.lax.dynamic_slice(
                 corpus_p, (chunk_idx * corpus_chunk, 0), (corpus_chunk, d)
             )
-            dist = pairwise(q, chunk)  # (tile, chunk) — one MXU block
+            with jax.default_matmul_precision(precision):
+                dist = pairwise(q, chunk)  # (tile, chunk) — one MXU block
             ids = chunk_idx * corpus_chunk + chunk_iota  # (chunk,)
             invalid = ids >= n_real
             if exclude_self:
@@ -130,6 +141,7 @@ def self_knn(
     metric: str = "cosine",
     query_tile: int = 512,
     corpus_chunk: int = 65536,
+    precision: str = "highest",
 ) -> Array:
     """Self k-NN of a corpus, excluding each row itself.
 
@@ -149,5 +161,6 @@ def self_knn(
         corpus_chunk=corpus_chunk,
         exclude_self=True,
         query_ids=ids,
+        precision=precision,
     )
     return nbr

@@ -1081,6 +1081,42 @@ def _grouped_prep_v2(layout_starts, layout_counts, probe_ids, probe_valid,
 GROUP_W = 32  # default queries per windowed group
 
 
+def windowed_exact_bound(starts, counts, probe_ids, probe_valid, cap: int,
+                         group_q: int, block_rows: int | None = None) -> int:
+    """EXACT group count of :func:`_windowed_prep` for a concrete probe
+    batch, computed on the host (numpy): ``sum_w ceil(m_w/G)`` where
+    ``m_w`` counts the window sub-events landing in window ``w``.
+
+    The static bound charges every event ``max_sub`` sub-events plus one
+    group per probed window; hash_times=1 ensemble batches (mean bucket
+    far below the window) really produce ~1 sub-event per event and
+    share windows heavily, leaving the static group table several-fold
+    empty — and serve time is ~linear in the group TABLE, empty slots
+    included.  Same trade as :func:`grouped_exact_bound`: one small
+    host sync (fetching the probe ids) for a several-fold smaller
+    dispatch."""
+    W = _br(block_rows)
+    starts = np.asarray(starts)
+    counts = np.asarray(counts)
+    pid = np.asarray(probe_ids).reshape(-1)
+    pv = np.asarray(probe_valid).reshape(-1)
+    n_buckets = counts.shape[0]
+    ok = pv & (pid >= 0) & (pid < n_buckets)
+    pid = pid[ok]
+    ct = np.minimum(counts[pid], cap)
+    st = starts[pid][ct > 0]
+    ct = ct[ct > 0]
+    w0 = st // W
+    span = (st + ct - 1) // W - w0 + 1  # windows touched per event
+    n_windows = int((starts[-1] + counts[-1] + W - 1) // W) + 1 \
+        if starts.size else 1
+    m = np.zeros(n_windows, np.int64)
+    for j in range(int(span.max()) if span.size else 0):
+        sel = span > j
+        m += np.bincount(w0[sel] + j, minlength=n_windows)
+    return int(np.sum(-(-m // group_q)))
+
+
 def windowed_static_bound(n_events: int, max_sub: int, total_windows: int,
                           group_q: int) -> int:
     """Static upper bound on the windowed group count for ANY probe

@@ -50,6 +50,60 @@ def _mt_query_chunk(L: int, n_probes: int, budget: int, dim: int) -> int:
     return int(max(4, min(512, _GATHER_BUDGET_BYTES // per_query)))
 
 
+@partial(jax.jit, static_argnames=("hashing", "k", "hash_times", "engine",
+                                   "n_rows", "g_override"))
+def _fused_mt_serve(hashing, stacked_params, layout, queries, key,
+                    k: int, hash_times: int, engine: str, n_rows: int,
+                    g_override: int | None = None):
+    """Probe-hash all L tables + stacked serve + duplicate collapse +
+    pack ``[topk_ids | n_cand]`` in ONE compiled program.
+
+    The eager path pays a relay round-trip (~5-6 ms healthy, CLAUDE.md)
+    for every glue op between the probe hash and the serve, plus ~30 ms
+    per result fetch; at the config-4 operating point that overhead was
+    ~90 ms against ~110 ms of device work.  Same design as the
+    single-table ``_fused_serve`` (`index/indexer.py`).  Only usable
+    when the group bound is static (no host-sync bound)."""
+    from nlsh_tpu.index.serving import (
+        serving_query, serving_query_grouped, serving_query_windowed,
+    )
+
+    L = jax.tree.leaves(stacked_params)[0].shape[0]
+    nb = hashing.n_buckets
+    keys = jax.random.split(key, L)
+    if hash_times == 1:
+        pids, pvalid = jax.vmap(
+            lambda p: hashing.hash(p, queries, n_probes=1)
+        )(stacked_params)
+    else:
+        pids, pvalid = jax.vmap(
+            lambda p, k_: hashing.hash(p, queries, n_probes=hash_times,
+                                       key=k_)
+        )(stacked_params, keys)
+    nq = queries.shape[0]
+    gp = (jnp.moveaxis(pids, 0, 1)
+          + (jnp.arange(L, dtype=jnp.int32) * nb)[None, :, None]
+          ).reshape(nq, L * pids.shape[-1])
+    gv = jnp.moveaxis(pvalid, 0, 1).reshape(nq, L * pids.shape[-1])
+    k_fetch = min(k * L, pids.shape[-1] * L * layout.cap)
+    if engine == "pallas-windowed":
+        ids, scores, n_cand = serving_query_windowed(
+            layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
+            g_total_override=g_override,
+        )
+    elif engine == "pallas-grouped":
+        ids, scores, n_cand = serving_query_grouped(
+            layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
+            g_total_override=g_override,
+        )
+    else:
+        ids, scores, n_cand = serving_query(
+            layout, queries, gp, gv, layout.counts, k=k_fetch
+        )
+    merged, _ = MultiTableIndexer._dedupe_topk(ids, scores, k, n_rows)
+    return jnp.concatenate([merged, n_cand[:, None]], axis=1)
+
+
 class MultiTableIndexer:
     """L learned hash tables over one corpus (BASELINE config 4).
 
@@ -368,18 +422,113 @@ class MultiTableIndexer:
         ).astype(jnp.int32)
         return merged, top
 
-    def _query_serving(self, queries, pids, pvalid, k: int, engine: str):
-        """One windowed/grouped/fixed-cap serving call over the stacked
-        layout + duplicate-id collapse.  ``n_candidates`` is the summed
-        probed occupancy across tables (an upper bound on distinct
-        candidates; the XLA engine reports the exact distinct count)."""
-        from nlsh_tpu.index.serving import (
-            serving_query, serving_query_grouped, serving_query_windowed,
+    # -- exact distinct-candidate count (engine-independent query_size) ----
+
+    @partial(jax.jit, static_argnames=("self", "budget", "query_chunk"))
+    def _distinct_fn(self, row_ids, starts, counts, pids, pvalid,
+                     budget: int, query_chunk: int):
+        """Exact ``|union over tables of probed bucket members|`` per
+        query — the id-gather half of :meth:`_gather_rerank` without the
+        vector gather/rerank (ids are 4 bytes/candidate, so the gather
+        the hot serving path avoids is cheap as a metrics pass)."""
+        n_rows = self.corpus.shape[0]
+        L, nq, n_probes = pids.shape
+        offs = jnp.arange(budget, dtype=jnp.int32)
+        n_chunks = -(-nq // query_chunk)
+        pad = n_chunks * query_chunk - nq
+        pid_p = jnp.pad(pids, ((0, 0), (0, pad), (0, 0)))
+        pv_p = jnp.pad(pvalid, ((0, 0), (0, pad), (0, 0)))
+
+        def f(args):
+            pid, pv = args  # (L, c, P)
+            c = pid.shape[1]
+
+            def per_table(rids, st, ct, p, v):
+                safe = jnp.clip(p, 0, st.shape[0] - 1)
+                cnt = jnp.where(v, ct[safe], 0)
+                pos = st[safe][:, :, None] + offs
+                valid = offs[None, None, :] < cnt[:, :, None]
+                rows = rids[jnp.clip(pos, 0, n_rows - 1)]
+                return rows.reshape(c, -1), valid.reshape(c, -1)
+
+            rows, valid = jax.vmap(per_table)(row_ids, starts, counts,
+                                              pid, pv)
+            rows = jnp.moveaxis(rows, 0, 1).reshape(c, -1)
+            valid = jnp.moveaxis(valid, 0, 1).reshape(c, -1)
+            keyed = jnp.sort(jnp.where(valid, rows, jnp.int32(n_rows)),
+                             axis=1)
+            uniq = jnp.concatenate(
+                [jnp.ones_like(keyed[:, :1], bool),
+                 keyed[:, 1:] != keyed[:, :-1]], axis=1,
+            )
+            uniq &= keyed < n_rows
+            return jnp.sum(uniq, axis=1, dtype=jnp.int32)
+
+        nd = jax.lax.map(
+            f,
+            (pid_p.reshape(L, n_chunks, query_chunk, n_probes)
+             .transpose(1, 0, 2, 3),
+             pv_p.reshape(L, n_chunks, query_chunk, n_probes)
+             .transpose(1, 0, 2, 3)),
         )
+        return nd.reshape(-1)[:nq]
+
+    def exact_query_size(self, queries, hash_times: int = 1, key=None,
+                         query_chunk: int | None = None) -> np.ndarray:
+        """Exact distinct-candidate count per query (``(nq,)`` int32) —
+        the reference ``query_size`` axis, independent of the serving
+        engine.
+
+        The Pallas serving paths report summed per-table occupancy (an
+        upper bound: the same corpus row counted once per table that
+        hashes it into a probed bucket) because cross-table dedupe
+        inside the hot dispatch would cost more than the serve it
+        measures.  Metrics and eval reporting call this instead, so
+        recall-at-query-size comparisons are engine-independent
+        (round-2 VERDICT weak #7).  Uses the same probe path and key
+        as :meth:`query`, so the counts describe exactly the batch a
+        `query(..., key=key)` call served."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        queries = jnp.asarray(queries)
+        pids, pvalid = self._probes(queries, hash_times, key)
+        if query_chunk is None:
+            query_chunk = _mt_query_chunk(
+                self.n_tables, hash_times, self.probe_budget, 1
+            )
+        return np.asarray(self._distinct_fn(
+            self.row_ids, self.starts, self.counts, pids, pvalid,
+            budget=self.probe_budget, query_chunk=query_chunk,
+        ))
+
+    def _serving_layout(self):
+        """The flat stacked :class:`ServingLayout` (cached arrays; the
+        wrapper itself is cheap to rebuild)."""
+        from nlsh_tpu.ops.pallas.query_kernel import _br
 
         data, row_map, astarts, norms, cap, align, n_aligned, total_blocks = (
             self._build_stacked()
         )
+        return self._flat_layout(
+            data, row_map, astarts, norms, self.counts, cap, align,
+            n_aligned, total_blocks, self.metric,
+            block_rows=_br(self.block_rows),
+        )
+
+    def _query_serving(self, queries, pids, pvalid, k: int, engine: str):
+        """One windowed/grouped/fixed-cap serving call over the stacked
+        layout + duplicate-id collapse, with the host-computed exact
+        group bound (the sync variants — the no-sync default is the
+        fully fused :func:`_fused_mt_serve`).  ``n_candidates`` is the
+        summed probed occupancy across tables (an upper bound on
+        distinct candidates; the XLA engine and :meth:`exact_query_size`
+        report the exact distinct count)."""
+        from nlsh_tpu.index.serving import (
+            serving_query, serving_query_grouped, serving_query_windowed,
+        )
+
+        layout = self._serving_layout()
+        cap = layout.cap
         L = self.n_tables
         nb = self.hashing.n_buckets
         nq = queries.shape[0]
@@ -395,18 +544,53 @@ class MultiTableIndexer:
         from nlsh_tpu.ops.pallas.query_kernel import _br
 
         br = _br(self.block_rows)
-        layout = self._flat_layout(
-            data, row_map, astarts, norms, self.counts, cap, align,
-            n_aligned, total_blocks, self.metric, block_rows=br,
-        )
         if engine == "pallas-windowed":
-            # dense windows: the static bound (~probed windows) is
-            # tight by construction, so no exact-bound host sync is
-            # needed (the grouped engine's 4x win from the sync came
-            # from its bucket-granular group floor, which this engine
-            # removes)
+            # dense windows already collapse the group floor from
+            # probed buckets to probed windows, so the exact bound is
+            # only ~1.6x tighter than the static one — MEASURED: the
+            # sync (one ~30 ms relay fetch + pipeline drain per call)
+            # LOSES at config 4 (34.3k vs 49.2k QPS no-sync), unlike
+            # the grouped engine where the bucket-granular floor makes
+            # it a 4x win.  Opt-in only; the no-sync default runs the
+            # fully fused one-dispatch path instead.
+            import os
+
+            from nlsh_tpu.ops.pallas.query_kernel import (
+                _GROUP_EB, GROUP_W, windowed_exact_bound,
+                windowed_static_bound,
+            )
+
+            g_override = None
+            if os.environ.get("NLSH_MT_SYNC_BOUND_WINDOWED", "0") != "0":
+                G = int(os.environ.get("NLSH_GROUP_Q", GROUP_W))
+                # layout geometry fetched ONCE and cached host-side;
+                # per call only the probe ids ride one fused fetch
+                # (each relay fetch costs ~30 ms and drains the
+                # in-order device queue)
+                if not hasattr(self, "_flat_geom_np"):
+                    self._flat_geom_np = (
+                        np.asarray(layout.starts), np.asarray(layout.counts)
+                    )
+                gpv = np.asarray(
+                    jnp.concatenate([gp, gv.astype(jnp.int32)], axis=1)
+                )
+                g_exact = windowed_exact_bound(
+                    self._flat_geom_np[0], self._flat_geom_np[1],
+                    gpv[:, : gp.shape[1]],
+                    gpv[:, gp.shape[1]:].astype(bool), cap, G,
+                    block_rows=br,
+                )
+                units = max(-(-g_exact // _GROUP_EB), 1)
+                g_override = _GROUP_EB * (1 << (units - 1).bit_length())
+                max_sub = cap // br + 1
+                static = windowed_static_bound(
+                    nq * gp.shape[1], max_sub,
+                    layout.n_rows // br, G,
+                )
+                g_override = min(g_override, static)
             ids, scores, n_cand = serving_query_windowed(
                 layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
+                g_total_override=g_override,
             )
         elif engine == "pallas-grouped":
             # row_k=k keeps the fused in-kernel top-k: a block holds
@@ -542,38 +726,66 @@ class MultiTableIndexer:
         )
         return merged, n_cand
 
-    def query_async(self, queries, k: int = 10, hash_times: int = 1,
-                    key=None):
-        """Dispatch an ensemble query without fetching (see
-        :meth:`fetch`); ``hash_times=1`` (hard probe per table) is the
-        typical multi-table operating point — the ensemble provides the
-        recall that multi-probe provides a single table."""
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        queries = jnp.asarray(queries)
+    def _probes(self, queries, hash_times: int, key):
+        """Per-table probe ids/validity ``(L, nq, P)`` — shared by the
+        query paths and :meth:`exact_query_size` so both see the same
+        buckets for the same ``key``."""
         keys = jax.random.split(key, self.n_tables)
 
         def per_table_hash(p, k_):
             return self.hashing.hash(p, queries, n_probes=hash_times, key=k_)
 
         if hash_times == 1:
-            pids, pvalid = jax.vmap(
+            return jax.vmap(
                 lambda p: self.hashing.hash(p, queries, n_probes=1)
             )(self.params)
-        else:
-            pids, pvalid = jax.vmap(per_table_hash)(self.params, keys)
+        return jax.vmap(per_table_hash)(self.params, keys)
+
+    def query_async(self, queries, k: int = 10, hash_times: int = 1,
+                    key=None):
+        """Dispatch an ensemble query without fetching (see
+        :meth:`fetch`); ``hash_times=1`` (hard probe per table) is the
+        typical multi-table operating point — the ensemble provides the
+        recall that multi-probe provides a single table."""
+        import os
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        queries = jnp.asarray(queries)
 
         engine = self.engine
         if engine == "auto":
-            engine = "pallas-grouped" if jax.default_backend() == "tpu" \
-                else "xla"
+            engine = (
+                "pallas-windowed"
+                if jax.default_backend() == "tpu" else "xla"
+            )
         if (engine in ("pallas", "pallas-grouped", "pallas-windowed")
                 and self.metric in ("cosine", "euclidean", "sq_euclidean")):
             if self.mesh is None:
+                # host-sync group bounds (opt-in for windowed, default
+                # for grouped) cannot live inside one compiled program;
+                # everything else runs the fused one-dispatch path
+                sync = (
+                    engine == "pallas-grouped"
+                    and os.environ.get("NLSH_MT_SYNC_BOUND", "1") != "0"
+                ) or (
+                    engine == "pallas-windowed"
+                    and os.environ.get("NLSH_MT_SYNC_BOUND_WINDOWED", "0")
+                    != "0"
+                )
+                if not sync:
+                    return _fused_mt_serve(
+                        self.hashing, self.params, self._serving_layout(),
+                        queries, key, k=k, hash_times=hash_times,
+                        engine=engine, n_rows=self.corpus.shape[0],
+                    )
+                pids, pvalid = self._probes(queries, hash_times, key)
                 return self._query_serving(queries, pids, pvalid, k, engine)
+            pids, pvalid = self._probes(queries, hash_times, key)
             return self._query_serving_sharded(
                 queries, pids, pvalid, k, engine
             )
+        pids, pvalid = self._probes(queries, hash_times, key)
 
         chunk = _mt_query_chunk(
             self.n_tables, hash_times, self.probe_budget, queries.shape[1]
@@ -585,9 +797,15 @@ class MultiTableIndexer:
 
     @staticmethod
     def fetch(result) -> tuple[np.ndarray, np.ndarray]:
-        """Fetch a :meth:`query_async` result to host."""
-        ids, n_cand = result
-        return np.asarray(ids), np.asarray(n_cand)
+        """Fetch a :meth:`query_async` result to host:
+        ``(topk_ids (nq, k), n_candidates (nq,))`` numpy arrays.  The
+        fused path returns ONE packed ``(nq, k+1)`` array so the fetch
+        is a single relay round-trip (~30 ms each, CLAUDE.md)."""
+        if isinstance(result, tuple):
+            ids, n_cand = result
+            return np.asarray(ids), np.asarray(n_cand)
+        packed = np.asarray(result)  # ONE host fetch of (nq, k+1)
+        return packed[:, :-1], packed[:, -1]
 
     def query(self, queries, k: int = 10, hash_times: int = 1, key=None):
         """Query the ensemble (fetching variant of :meth:`query_async`).

@@ -58,7 +58,7 @@ class ShardedIndexer:
                  engine: str = "auto", serving_dtype=None,
                  layout_mode: str = "auto", block_rows: int | None = None):
         if engine not in ("auto", "xla", "pallas", "pallas-grouped",
-                          "pallas-compact"):
+                          "pallas-compact", "pallas-windowed"):
             raise ValueError(f"unknown engine {engine!r}")
         if engine == "pallas-compact" and mesh.devices.size > 1:
             raise ValueError(
@@ -211,11 +211,16 @@ class ShardedIndexer:
         # the grouped/compact engines index blocks by start/block_rows,
         # so their layouts only need block-aligned bucket starts — ~3x
         # less HBM than cap alignment at 10M rows x 16k buckets; the
-        # fixed-cap engine (start/cap block index) keeps cap alignment
-        align = br if self.engine in ("pallas-grouped",
-                                      "pallas-compact") else cap
+        # windowed engine packs DENSE (8-row starts: its design point
+        # is mean bucket << block, where block alignment is mostly
+        # padding); the fixed-cap engine keeps cap alignment
+        align = {"pallas-grouped": br, "pallas-compact": br,
+                 "pallas-windowed": 8}.get(self.engine, cap)
         counts_np = np.asarray(self.counts)  # (D, n_buckets)
-        n_aligned = max(aligned_rows(c, cap, align=align) for c in counts_np)
+        # whole-window tail: every engine indexes br-row blocks/windows
+        n_aligned = -(-max(
+            aligned_rows(c, cap, align=align) for c in counts_np
+        ) // br) * br
         # shard-uniform static group bound: the largest shard's blocks
         total_blocks = int(max(
             (-(-np.minimum(c, cap) // br)).sum() for c in counts_np
@@ -296,7 +301,7 @@ class ShardedIndexer:
         if cache_key in self._query_cache:
             return self._query_cache[cache_key]
         from nlsh_tpu.index.serving import (
-            serving_query, serving_query_grouped,
+            serving_query, serving_query_grouped, serving_query_windowed,
         )
         from nlsh_tpu.ops.pallas.query_kernel import ServingLayout, _br
 
@@ -333,6 +338,11 @@ class ShardedIndexer:
                         layout, qs, pids, pvalid, counts[0], k=k,
                         g_total_override=g_override,
                     )
+                elif engine == "pallas-windowed":
+                    ids, _, ncand = serving_query_windowed(
+                        layout, qs, pids, pvalid, counts[0], k=k,
+                        g_total_override=g_override,
+                    )
                 else:
                     ids, _, ncand = serving_query(
                         layout, qs, pids, pvalid, counts[0], k=k
@@ -359,8 +369,10 @@ class ShardedIndexer:
                 metric=metric, norms=norms[0] if has_norms else None,
                 total_blocks=total_blocks, block_rows=br,
             )
-            serve = (serving_query_grouped if engine == "pallas-grouped"
-                     else serving_query)
+            serve = {
+                "pallas-grouped": serving_query_grouped,
+                "pallas-windowed": serving_query_windowed,
+            }.get(engine, serving_query)
             ids, scores, ncand = serve(
                 layout, qs, pids, pvalid, counts[0], k=k
             )
@@ -473,7 +485,8 @@ class ShardedIndexer:
                 layout, queries, pids, pvalid, self.counts[0], k=k,
             )
             return jnp.concatenate([ids, ncand[:, None]], axis=1)
-        if engine in ("pallas", "pallas-grouped") and serving_metric:
+        if engine in ("pallas", "pallas-grouped",
+                      "pallas-windowed") and serving_metric:
             data, row_map, astarts, norms, cap, _, _ = self._build_layouts()
             if norms is None:
                 norms = jnp.zeros((data.shape[0], 0), jnp.float32)

@@ -96,20 +96,31 @@ class MultiTableTrainer(Trainer):
             step,
         )
         t1 = time.perf_counter()
-        topk, n_cand = indexer.query(val_gpu, k=K, hash_times=1, key=eval_key)
+        topk, _ = indexer.query(val_gpu, k=K, hash_times=1, key=eval_key)
         t2 = time.perf_counter()
         recall = calculate_recall(ground_truth, topk, np.mean)
-        query_size = float(np.mean(n_cand))
+        # logged query_size is the EXACT distinct-candidate count, so
+        # the metric does not depend on which serving engine answered
+        # (Pallas paths return an occupancy upper bound inline)
+        query_size = float(np.mean(indexer.exact_query_size(
+            val_gpu, hash_times=1, key=eval_key
+        )))
         self.logger.log("test/recall", recall, step)
         self.logger.log("test/query_size", query_size, step)
         self.logger.log("test/qps", val_gpu.shape[0] / (t2 - t1), step)
 
-        topk_t, n_cand_t = indexer.query(probe_train, k=K, hash_times=1,
-                                         key=eval_key)
+        topk_t, _ = indexer.query(probe_train, k=K, hash_times=1,
+                                  key=eval_key)
         self.logger.log(
             "training/recall", calculate_recall(probe_gt, topk_t, np.mean), step
         )
-        self.logger.log("training/query_size", float(np.mean(n_cand_t)), step)
+        self.logger.log(
+            "training/query_size",
+            float(np.mean(indexer.exact_query_size(
+                probe_train, hash_times=1, key=eval_key
+            ))),
+            step,
+        )
         return recall, query_size
 
     def save_checkpoint(self, state, recall):

@@ -296,3 +296,82 @@ def test_sharded_lazy_host_corpus_matches_indexer(data):
     x_top, x_cand = ix.query(queries, k=5, hash_times=4, key=key)
     np.testing.assert_array_equal(s_cand, np.asarray(x_cand))
     assert (np.sort(s_top, 1) == np.sort(np.asarray(x_top), 1)).mean() > 0.99
+
+
+def test_multitable_exact_query_size_matches_xla(data):
+    """`exact_query_size` must equal the XLA union path's distinct
+    count for the same key, for both unsharded and table-sharded
+    indexers (VERDICT weak #7: engine-independent query_size)."""
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    stacked = init_multi_table(hashing, 8, jax.random.PRNGKey(4))
+    key = jax.random.PRNGKey(9)
+
+    mx = MultiTableIndexer(hashing, stacked, corpus, engine="xla")
+    _, x_cand = mx.query(queries, k=5, hash_times=2, key=key)
+    np.testing.assert_array_equal(
+        mx.exact_query_size(queries, hash_times=2, key=key), x_cand
+    )
+
+    mp = MultiTableIndexer(hashing, stacked, corpus, engine="pallas-grouped")
+    np.testing.assert_array_equal(
+        mp.exact_query_size(queries, hash_times=2, key=key), x_cand
+    )
+
+    mesh = make_mesh(4, axis="table")
+    ms = MultiTableIndexer(hashing, stacked, corpus, mesh=mesh,
+                           engine="pallas-windowed")
+    np.testing.assert_array_equal(
+        ms.exact_query_size(queries, hash_times=2, key=key), x_cand
+    )
+
+
+def test_multitable_windowed_sync_bound_matches_xla(data, monkeypatch):
+    """The windowed exact-group-bound host sync (opt-in via
+    NLSH_MT_SYNC_BOUND_WINDOWED) must not change windowed-engine
+    results, only the dispatch size."""
+    from nlsh_tpu.ops.pallas import query_kernel as qk
+
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    params = init_multi_table(hashing, 4, jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(5)
+
+    mx = MultiTableIndexer(hashing, params, corpus, engine="xla")
+    x_top, _ = mx.query(queries, k=5, hash_times=2, key=key)
+
+    monkeypatch.setenv("NLSH_MT_SYNC_BOUND_WINDOWED", "0")
+    m_off = MultiTableIndexer(hashing, params, corpus,
+                              engine="pallas-windowed")
+    off_top, _ = m_off.query(queries, k=5, hash_times=2, key=key)
+    monkeypatch.setenv("NLSH_MT_SYNC_BOUND_WINDOWED", "1")
+    m_on = MultiTableIndexer(hashing, params, corpus,
+                             engine="pallas-windowed")
+    on_top, _ = m_on.query(queries, k=5, hash_times=2, key=key)
+    assert (np.sort(off_top, 1) == np.sort(x_top, 1)).mean() > 0.99
+    np.testing.assert_array_equal(np.sort(on_top, 1), np.sort(off_top, 1))
+
+
+@pytest.mark.parametrize("layout_mode", ["device", "host"])
+def test_sharded_windowed_matches_xla(data, layout_mode):
+    """Corpus-sharded dense-window serving (multi-device mesh, both
+    layout builders) must reproduce the sharded XLA path — config 5b's
+    low-occupancy operating point (VERDICT weak #6)."""
+    hashing = _hashing()
+    params = hashing.init(jax.random.PRNGKey(0))
+    corpus = np.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(4, axis="shard")
+
+    sx = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                        engine="xla")
+    x_top, x_cand = sx.query(queries, k=5, hash_times=4, key=key)
+
+    sw = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                        engine="pallas-windowed", layout_mode=layout_mode)
+    w_top, w_cand = sw.query(queries, k=5, hash_times=4, key=key)
+    np.testing.assert_array_equal(w_cand, x_cand)
+    assert (np.sort(w_top, 1) == np.sort(x_top, 1)).mean() > 0.99
