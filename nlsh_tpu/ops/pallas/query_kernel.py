@@ -39,6 +39,21 @@ Array = jnp.ndarray
 
 LANE = 128  # TPU lane width; feature dim padded to a multiple
 
+# Score-dot precision.  The MXU's DEFAULT single-pass matmul truncates
+# BOTH operands to bf16 — including the f32 queries — which re-orders
+# near-tied candidates at the top-k boundary (measured: up to 15%
+# top-10 drift vs exact on tightly-clustered data, round 3).  HIGHEST
+# makes f32-layout scoring exact and bf16-layout scoring exact-given-
+# storage (only the corpus rounding remains); the engines are group-
+# overhead-bound, not MXU-bound, so the extra passes are ~free.
+import os as _os_prec
+
+_DOT_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os_prec.environ.get("NLSH_KERNEL_PRECISION", "highest")]
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -386,6 +401,7 @@ def _score_kernel(starts_ref, counts_ref, q_ref, corpus_ref, out_ref,
         scores = jnp.dot(
             scratch[slot].astype(jnp.float32), q_col,
             preferred_element_type=jnp.float32,
+                precision=_DOT_PREC,
         )[:, 0]
         lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
         masked = jnp.where(
@@ -470,6 +486,7 @@ def _make_auto_kernel(n_probes: int, cap: int, d_pad: int):
             scores = jnp.dot(
                 refs[j][...].astype(jnp.float32), q_col,
                 preferred_element_type=jnp.float32,
+                precision=_DOT_PREC,
             )[:, 0]
             out_ref[j, :] = jnp.where(lane < counts_ref[ev], scores, -jnp.inf)
 
@@ -573,6 +590,7 @@ def _make_compact_kernel(eb: int, block_rows: int, d_pad: int):
             out_ref[j, :] = jnp.dot(
                 refs[j][...].astype(jnp.float32), q_col,
                 preferred_element_type=jnp.float32,
+                precision=_DOT_PREC,
             )[:, 0]
 
     return kernel
@@ -710,6 +728,7 @@ def _make_grouped_kernel_v3(eb: int):
                 qgrp_ref[j], refs[j][...],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_DOT_PREC,
             )
 
     return kernel
@@ -789,6 +808,7 @@ def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
                 qgrp_ref[j], corpus_refs[j][...].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_DOT_PREC,
             )  # (G, BR)
             if has_norms:
                 s = s - norms_refs[j][0]
@@ -1232,6 +1252,7 @@ def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool):
                 qgrp_ref[j], corpus_refs[j][...].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_DOT_PREC,
             )  # (G, W)
             if has_norms:
                 s = s - norms_refs[j][0]
@@ -1333,6 +1354,7 @@ def _make_windowed_kernel(eb: int):
                 qgrp_ref[j], refs[j][...],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_DOT_PREC,
             )
 
     return kernel
