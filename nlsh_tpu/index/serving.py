@@ -207,11 +207,11 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
             f"block_rows={br}); dense layouts serve via the windowed "
             "engine"
         )
+    # queries stay f32 (extend_queries): the kernels upcast the corpus
+    # block and dot at HIGHEST precision, so the only scoring error on
+    # a bf16 layout is the corpus storage rounding itself — a bf16
+    # query would add a second, avoidable rounding of the query side
     qe = extend_queries(layout, queries)
-    # the grouped path gathers whole query rows in XLA (no single-row
-    # dynamic VMEM loads), so queries can ride the layout dtype — bf16
-    # layouts then run native bf16 x bf16 MXU matmuls
-    qe = qe.astype(layout.data.dtype)
     grp_block, grp_qvecs, grp_cnt, ev_row, ev_block, ev_valid = (
         _grouped_prep_v2(
             layout.starts, layout.counts, probe_ids, probe_valid, qe,
@@ -385,8 +385,7 @@ def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     )
 
     br = layout.br  # static (rides the layout's pytree aux)
-    qe = extend_queries(layout, queries)
-    qe = qe.astype(layout.data.dtype)  # bf16 layouts: native bf16 MXU
+    qe = extend_queries(layout, queries)  # f32 (see grouped-path note)
     grp_window, grp_qvecs, grp_lo, grp_hi, ev_row, ev_window, ev_valid = (
         _windowed_prep(
             layout.starts, layout.counts, probe_ids, probe_valid, qe,

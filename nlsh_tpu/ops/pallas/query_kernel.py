@@ -725,7 +725,8 @@ def _make_grouped_kernel_v3(eb: int):
         out_ref = refs[-1]
         for j in range(eb):
             out_ref[j] = jax.lax.dot_general(
-                qgrp_ref[j], refs[j][...],
+                qgrp_ref[j].astype(jnp.float32),
+                refs[j][...].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PREC,
@@ -1351,7 +1352,8 @@ def _make_windowed_kernel(eb: int):
         out_ref = refs[-1]
         for j in range(eb):
             out_ref[j] = jax.lax.dot_general(
-                qgrp_ref[j], refs[j][...],
+                qgrp_ref[j].astype(jnp.float32),
+                refs[j][...].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PREC,
