@@ -399,7 +399,7 @@ def _score_kernel(starts_ref, counts_ref, q_ref, corpus_ref, out_ref,
         # at the layout dtype while the MXU runs a uniform-dtype matmul)
         q_col = q_ref[i * q_block + qb, :].reshape(q_ref.shape[1], 1)
         scores = jnp.dot(
-            scratch[slot].astype(jnp.float32), q_col,
+            scratch[slot].astype(jnp.float32), q_col.astype(jnp.float32),
             preferred_element_type=jnp.float32,
                 precision=_DOT_PREC,
         )[:, 0]
@@ -484,7 +484,7 @@ def _make_auto_kernel(n_probes: int, cap: int, d_pad: int):
             ev = i * _EVENT_BLOCK + j
             q_col = q_ref[ev // n_probes, :].reshape(d_pad, 1)
             scores = jnp.dot(
-                refs[j][...].astype(jnp.float32), q_col,
+                refs[j][...].astype(jnp.float32), q_col.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PREC,
             )[:, 0]
@@ -588,7 +588,7 @@ def _make_compact_kernel(eb: int, block_rows: int, d_pad: int):
         for j in range(eb):
             q_col = qbe_ref[j, :].reshape(d_pad, 1)
             out_ref[j, :] = jnp.dot(
-                refs[j][...].astype(jnp.float32), q_col,
+                refs[j][...].astype(jnp.float32), q_col.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PREC,
             )[:, 0]
@@ -806,7 +806,8 @@ def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
         br = corpus_refs[0].shape[0]
         for j in range(eb):
             s = jax.lax.dot_general(
-                qgrp_ref[j], corpus_refs[j][...].astype(jnp.float32),
+                qgrp_ref[j].astype(jnp.float32),
+                corpus_refs[j][...].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PREC,
@@ -1138,6 +1139,38 @@ def windowed_exact_bound(starts, counts, probe_ids, probe_valid, cap: int,
     return int(np.sum(-(-m // group_q)))
 
 
+@partial(jax.jit, static_argnames=("max_sub", "group_q", "n_windows",
+                                   "block_rows"))
+def windowed_needed_groups(layout_starts, layout_counts, probe_ids,
+                           probe_valid, cap, max_sub: int, group_q: int,
+                           n_windows: int, block_rows: int | None = None):
+    """Device-side EXACT group count of :func:`_windowed_prep` for a
+    probe batch — the same ``sum_w ceil(m_w/G)`` as
+    :func:`windowed_exact_bound` but as a cheap jittable reduction
+    (one scatter-add over ~n/W window bins), so a fused serving program
+    can *guard* a calibrated group bound with ``lax.cond`` instead of
+    paying a host sync per call (prep drops overflow groups silently —
+    an unguarded too-small bound would lose candidates)."""
+    W = _br(block_rows)
+    n_buckets = layout_counts.shape[0]
+    safe = jnp.clip(probe_ids, 0, n_buckets - 1)
+    ct = jnp.where(
+        probe_valid, jnp.minimum(layout_counts[safe], cap), 0
+    ).astype(jnp.int32).reshape(-1)
+    st = layout_starts[safe].astype(jnp.int32).reshape(-1)
+    j = jnp.arange(max_sub, dtype=jnp.int32)
+    wj = st[:, None] // W + j
+    lo = jnp.maximum(st[:, None] - wj * W, 0)
+    hi = jnp.minimum(st[:, None] + ct[:, None] - wj * W, W)
+    sub_valid = (ct[:, None] > 0) & (hi > lo)
+    m = (
+        jnp.zeros((n_windows,), jnp.int32)
+        .at[jnp.where(sub_valid, wj, n_windows)]
+        .add(1, mode="drop")
+    )
+    return jnp.sum(-(-m // group_q))
+
+
 def windowed_static_bound(n_events: int, max_sub: int, total_windows: int,
                           group_q: int) -> int:
     """Static upper bound on the windowed group count for ANY probe
@@ -1250,7 +1283,8 @@ def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool):
         br = corpus_refs[0].shape[0]
         for j in range(eb):
             s = jax.lax.dot_general(
-                qgrp_ref[j], corpus_refs[j][...].astype(jnp.float32),
+                qgrp_ref[j].astype(jnp.float32),
+                corpus_refs[j][...].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PREC,

@@ -87,10 +87,42 @@ def _fused_mt_serve(hashing, stacked_params, layout, queries, key,
     gv = jnp.moveaxis(pvalid, 0, 1).reshape(nq, L * pids.shape[-1])
     k_fetch = min(k * L, pids.shape[-1] * L * layout.cap)
     if engine == "pallas-windowed":
-        ids, scores, n_cand = serving_query_windowed(
-            layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
-            g_total_override=g_override,
-        )
+        if g_override is not None:
+            # calibrated group bound, GUARDED: prep drops overflow
+            # groups silently, so compute the exact needed count on
+            # device (one cheap scatter-add) and lax.cond to the
+            # static-bound program when a batch exceeds calibration —
+            # no host sync, no silent candidate loss
+            import os
+
+            from nlsh_tpu.ops.pallas.query_kernel import (
+                GROUP_W, windowed_needed_groups,
+            )
+
+            br = layout.br
+            needed = windowed_needed_groups(
+                layout.starts, layout.counts, gp, gv,
+                jnp.asarray(layout.cap, jnp.int32),
+                max_sub=layout.cap // br + 1,
+                group_q=int(os.environ.get("NLSH_GROUP_Q", GROUP_W)),
+                n_windows=-(-layout.data.shape[0] // br) + 1,
+                block_rows=br,
+            )
+            ids, scores, n_cand = jax.lax.cond(
+                needed <= g_override,
+                lambda: serving_query_windowed(
+                    layout, queries, gp, gv, layout.counts, k=k_fetch,
+                    row_k=k, g_total_override=g_override,
+                ),
+                lambda: serving_query_windowed(
+                    layout, queries, gp, gv, layout.counts, k=k_fetch,
+                    row_k=k,
+                ),
+            )
+        else:
+            ids, scores, n_cand = serving_query_windowed(
+                layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
+            )
     elif engine == "pallas-grouped":
         ids, scores, n_cand = serving_query_grouped(
             layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
@@ -102,6 +134,31 @@ def _fused_mt_serve(hashing, stacked_params, layout, queries, key,
         )
     merged, _ = MultiTableIndexer._dedupe_topk(ids, scores, k, n_rows)
     return jnp.concatenate([merged, n_cand[:, None]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("hashing", "k", "hash_times", "engine",
+                                   "n_rows", "g_override", "repeats"))
+def _fused_mt_serve_batched(hashing, stacked_params, layout, queries, key,
+                            k: int, hash_times: int, engine: str, n_rows: int,
+                            repeats: int, g_override: int | None = None):
+    """``repeats`` full :func:`_fused_mt_serve` batches inside ONE
+    compiled program (``lax.map``), returning ``(repeats, nq, k+1)`` —
+    the multi-table analogue of the single-table
+    ``_fused_serve_batched`` (`index/indexer.py`): one dispatch + one
+    fetch amortise the relay's per-call cost over ``repeats * nq``
+    queries.  Each repeat serves the queries rolled to a different
+    order with a distinct PRNG fold so the compiler cannot collapse
+    the repeats."""
+
+    def one(i):
+        qs = jnp.roll(queries, shift=i * 1009, axis=0)
+        return _fused_mt_serve(
+            hashing, stacked_params, layout, qs, jax.random.fold_in(key, i),
+            k=k, hash_times=hash_times, engine=engine, n_rows=n_rows,
+            g_override=g_override,
+        )
+
+    return jax.lax.map(one, jnp.arange(repeats, dtype=jnp.int32))
 
 
 class MultiTableIndexer:
@@ -144,6 +201,7 @@ class MultiTableIndexer:
         self.serving_dtype = serving_dtype or jnp.float32
         self._query_cache: dict = {}
         self._stacked = None
+        self._g_cal: int | None = None  # set by :meth:`calibrate`
         self.n_tables = jax.tree.leaves(stacked_params)[0].shape[0]
         if mesh is not None:
             (self.axis,) = mesh.axis_names
@@ -501,6 +559,57 @@ class MultiTableIndexer:
             budget=self.probe_budget, query_chunk=query_chunk,
         ))
 
+    def calibrate(self, queries, hash_times: int = 1, key=None,
+                  margin: float = 1.1) -> int:
+        """One-time serving calibration for the windowed engine.
+
+        The static windowed group bound must hold for ANY batch, so it
+        charges every probe event ``cap//W + 1`` sub-events; balanced
+        ensembles at ``hash_times=1`` really produce ~1 and share
+        windows, leaving the group table (whose SIZE sets serve time)
+        several-fold empty.  This computes the exact bound on a
+        representative batch (ONE host sync, here, not on the serving
+        path), pads it by ``margin``, rounds to a power-of-two group
+        count and clamps to the static bound.  Subsequent fused
+        windowed calls use it GUARDED: a device-side exact needed-count
+        + ``lax.cond`` falls back to the static-bound program for any
+        batch that exceeds calibration — overflow can never silently
+        drop candidates.  Returns the calibrated group count."""
+        import os
+
+        from nlsh_tpu.ops.pallas.query_kernel import (
+            _GROUP_EB, GROUP_W, windowed_exact_bound,
+            windowed_static_bound,
+        )
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        queries = jnp.asarray(queries)
+        layout = self._serving_layout()
+        br = layout.br
+        pids, pvalid = self._probes(queries, hash_times, key)
+        nb = self.hashing.n_buckets
+        L = self.n_tables
+        gp = (jnp.moveaxis(pids, 0, 1)
+              + (jnp.arange(L, dtype=jnp.int32) * nb)[None, :, None]
+              ).reshape(queries.shape[0], -1)
+        gv = jnp.moveaxis(pvalid, 0, 1).reshape(queries.shape[0], -1)
+        G = int(os.environ.get("NLSH_GROUP_Q", GROUP_W))
+        needed = windowed_exact_bound(
+            np.asarray(layout.starts), np.asarray(layout.counts),
+            np.asarray(gp), np.asarray(gv), layout.cap, G, block_rows=br,
+        )
+        # _GROUP_EB granularity only — no power-of-two rounding:
+        # calibration compiles exactly one extra program either way,
+        # and pow2 can round a 1.6x-tighter bound back to ~static
+        g_cal = _GROUP_EB * max(-(-int(needed * margin) // _GROUP_EB), 1)
+        static = windowed_static_bound(
+            gp.shape[0] * gp.shape[1], layout.cap // br + 1,
+            layout.n_rows // br, G,
+        )
+        self._g_cal = int(min(g_cal, static))
+        return self._g_cal
+
     def _serving_layout(self):
         """The flat stacked :class:`ServingLayout` (cached arrays; the
         wrapper itself is cheap to rebuild)."""
@@ -774,10 +883,13 @@ class MultiTableIndexer:
                     != "0"
                 )
                 if not sync:
+                    g_cal = (self._g_cal
+                             if engine == "pallas-windowed" else None)
                     return _fused_mt_serve(
                         self.hashing, self.params, self._serving_layout(),
                         queries, key, k=k, hash_times=hash_times,
                         engine=engine, n_rows=self.corpus.shape[0],
+                        g_override=g_cal,
                     )
                 pids, pvalid = self._probes(queries, hash_times, key)
                 return self._query_serving(queries, pids, pvalid, k, engine)

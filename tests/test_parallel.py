@@ -375,3 +375,69 @@ def test_sharded_windowed_matches_xla(data, layout_mode):
     w_top, w_cand = sw.query(queries, k=5, hash_times=4, key=key)
     np.testing.assert_array_equal(w_cand, x_cand)
     assert (np.sort(w_top, 1) == np.sort(x_top, 1)).mean() > 0.99
+
+
+def test_fused_mt_serve_batched_matches_single(data, monkeypatch):
+    """Repeat i of the one-dispatch batched program must equal a direct
+    fused call on the same rolled queries + folded key."""
+    from nlsh_tpu.parallel.multitable import (
+        _fused_mt_serve, _fused_mt_serve_batched,
+    )
+
+    monkeypatch.setenv("NLSH_MT_SYNC_BOUND", "0")
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    params = init_multi_table(hashing, 4, jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(11)
+    m = MultiTableIndexer(hashing, params, corpus, engine="pallas-windowed")
+    layout = m._serving_layout()
+    R = 3
+    batched = np.asarray(_fused_mt_serve_batched(
+        hashing, params, layout, queries, key, k=5, hash_times=2,
+        engine="pallas-windowed", n_rows=corpus.shape[0], repeats=R,
+    ))
+    assert batched.shape == (R, queries.shape[0], 6)
+    for i in (0, R - 1):
+        qs = jnp.roll(queries, shift=i * 1009, axis=0)
+        single = np.asarray(_fused_mt_serve(
+            hashing, params, layout, qs, jax.random.fold_in(key, i),
+            k=5, hash_times=2, engine="pallas-windowed",
+            n_rows=corpus.shape[0],
+        ))
+        np.testing.assert_array_equal(batched[i], single)
+
+
+def test_multitable_calibrated_windowed_matches_uncalibrated(data, monkeypatch):
+    """The calibrated group bound (guarded by the device-side needed
+    count + cond fallback) must never change results — including when a
+    batch EXCEEDS the calibration sample (overflow falls back to the
+    static-bound program instead of dropping candidates)."""
+    monkeypatch.setenv("NLSH_MT_SYNC_BOUND", "0")
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    params = init_multi_table(hashing, 4, jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(5)
+
+    ref = MultiTableIndexer(hashing, params, corpus,
+                            engine="pallas-windowed")
+    r_top, r_cand = ref.query(queries, k=5, hash_times=2, key=key)
+
+    cal = MultiTableIndexer(hashing, params, corpus,
+                            engine="pallas-windowed")
+    g = cal.calibrate(queries, hash_times=2, key=key)
+    assert g >= 1
+    c_top, c_cand = cal.query(queries, k=5, hash_times=2, key=key)
+    np.testing.assert_array_equal(c_cand, r_cand)
+    np.testing.assert_array_equal(np.sort(c_top, 1), np.sort(r_top, 1))
+
+    # starve the calibration: a 4-query sample, then a full batch with
+    # more probes — the guard must route to the static-bound program
+    starved = MultiTableIndexer(hashing, params, corpus,
+                                engine="pallas-windowed")
+    starved.calibrate(queries[:4], hash_times=1)
+    s_top, s_cand = starved.query(queries, k=5, hash_times=4, key=key)
+    f_top, f_cand = ref.query(queries, k=5, hash_times=4, key=key)
+    np.testing.assert_array_equal(s_cand, f_cand)
+    np.testing.assert_array_equal(np.sort(s_top, 1), np.sort(f_top, 1))
