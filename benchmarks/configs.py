@@ -22,8 +22,10 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+import types
 
 import numpy as np
 
@@ -54,18 +56,54 @@ def _data(data_id, n_train, n_test, dim, metric, k=10, seed=0):
     ).load()
 
 
-def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None):
+def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
+           cache_tag=None):
+    """Deterministic-in-config fit with an optional keyed param cache
+    (the bench.py pattern): re-measuring a config's serving path should
+    not pay the 1-13 min training run again — training time swings 4x+
+    with relay weather and is reported as 0 on a cache hit."""
     from nlsh_tpu.train import MultiTableTrainer, TripletTrainer
 
+    path = None
+    if cache_tag:
+        cache_dir = "/tmp/nlsh_bench_cache"
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(
+            cache_dir,
+            f"cfgparams_{cache_tag}_s{steps}_b{batch_size}"
+            f"_t{n_tables or 1}_v2.msgpack",
+        )
     tr = TripletTrainer(hashing, data, "/tmp/nlsh_bench_models",
                         margin=0.5, positive_k=20)
     if n_tables:
         tr = MultiTableTrainer(tr, n_tables)
+    if path and os.path.exists(path):
+        import jax
+
+        from flax import serialization
+
+        key = jax.random.PRNGKey(0)
+        like = {"hashing": tr.init_hashing_params(key),
+                "extra": tr.init_extra(key)}
+        with open(path, "rb") as f:
+            params = serialization.from_bytes(like, f.read())
+        state = types.SimpleNamespace(params=params)
+        return state, 0.0
     t0 = time.perf_counter()
     state = tr.fit(K=10, batch_size=batch_size, learning_rate=lr,
                    epochs=1000, test_every_updates=10**9, max_steps=steps,
                    hash_times=10)
-    return state, time.perf_counter() - t0
+    train_s = time.perf_counter() - t0
+    if path:
+        import jax
+
+        from flax import serialization
+
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(
+                jax.tree.map(np.asarray, state.params)
+            ))
+    return state, train_s
 
 
 def _measure(idx, async_fn, queries, gt, n_runs=2, pipeline=4):
@@ -104,7 +142,7 @@ def config_1():
     hashing = get_hashing(
         "MultivariateBernoulli", get_encoder("mlp", data.dim, [256, 256]), 8
     )
-    state, train_s = _train(hashing, data, steps=400)
+    state, train_s = _train(hashing, data, steps=400, cache_tag="cfg1_glove25")
     t0 = time.perf_counter()
     idx = Indexer(hashing, state.params["hashing"],
                   jnp.asarray(data.training), metric=data.metric)
@@ -150,7 +188,8 @@ def config_2():
     hashing = get_hashing(
         "MultivariateBernoulli", get_encoder("siren", data.dim, [256, 256]), 12
     )
-    state, train_s = _train(hashing, _Sub(), steps=400, batch_size=2048)
+    state, train_s = _train(hashing, _Sub(), steps=400, batch_size=2048,
+                            cache_tag="cfg2_sift")
     t0 = time.perf_counter()
     # round 2: ||c||^2 rides a separate array, so d=128 streams 128
     # lanes (not the 256 the old d+1 column padded to); grouped engine
@@ -195,7 +234,7 @@ def config_4(n_train=200_000):
         "MultivariateBernoulli", get_encoder("siren", data.dim, [128, 128]), 10
     )
     state, train_s = _train(hashing, data, steps=300, batch_size=1024,
-                            n_tables=8)
+                            n_tables=8, cache_tag="cfg4_glove100mt")
     t0 = time.perf_counter()
     # round 3: f32 serving layout — the grouped/windowed engines are
     # group-overhead-bound, not bytes-bound, so f32 costs nothing here
