@@ -59,6 +59,11 @@ REPS = int(os.environ.get("NLSH_BENCH_REPS", 10))
 # seconds (fresh caches + slow remote compiles): never lose the
 # headline line to the smoke
 PARITY_DEADLINE_S = float(os.environ.get("NLSH_BENCH_PARITY_DEADLINE", 420))
+# stop starting new (engine, dtype) sweep entries past this point: the
+# FIRST entry is the headline operating point, the rest are comparison
+# rows — under a degraded remote-compile window (13-155 s per program)
+# they must never push the headline past the driver's ~8-min budget
+SWEEP_DEADLINE_S = float(os.environ.get("NLSH_BENCH_SWEEP_DEADLINE", 300))
 
 CACHE_DIR = os.environ.get("NLSH_BENCH_CACHE_DIR", "/tmp/nlsh_bench_cache")
 
@@ -324,6 +329,10 @@ def main():
     for engine, sdtype in (("pallas-grouped", jnp.float32),
                            ("pallas-grouped", jnp.bfloat16),
                            ("pallas", jnp.float32)):
+        if sweep and time.perf_counter() - t_start > SWEEP_DEADLINE_S:
+            print(f"sweep truncated after {len(sweep)} entries "
+                  f"(deadline {SWEEP_DEADLINE_S:.0f}s)", flush=True)
+            break
         try:
             indexer.engine = engine
             indexer.serving_dtype = sdtype

@@ -264,7 +264,7 @@ def config_4(n_train=200_000):
         from nlsh_tpu.parallel.multitable import _fused_mt_serve_batched
 
         queries = jnp.asarray(data.testing)
-        R = 8
+        R = 16
         batched = lambda: _fused_mt_serve_batched(  # noqa: E731
             idx.hashing, idx.params, idx._serving_layout(), queries,
             jax.random.PRNGKey(0), k=10, hash_times=1,
@@ -273,7 +273,7 @@ def config_4(n_train=200_000):
         )
         np.asarray(batched())  # compile + warm
         times = []
-        for _ in range(4):
+        for _ in range(6):
             t0 = time.perf_counter()
             np.asarray(batched())
             times.append((time.perf_counter() - t0) / R)
@@ -357,13 +357,19 @@ def config_5(n_corpus=None):
 
     mesh = make_mesh(axis="shard")
     _log(f"sharding over {mesh.devices.size} device(s)")
+    # round 3: engine/block_rows sweepable from the env — the windowed
+    # engine's dense 8-row layout is built for exactly this config's
+    # low occupancy (mean bucket ~122 pads ~4x inside 512-row blocks)
+    engine = os.environ.get("NLSH_CONFIG5_ENGINE", "pallas-grouped")
+    block_rows = os.environ.get("NLSH_CONFIG5_BR")
     t0 = time.perf_counter()
     # round 2: host-built serving layout (the on-device layout compile
     # OOMed the remote compile host at this scale, RESULTS.md r1) +
     # grouped engine + bf16
     idx = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
-                         engine="pallas-grouped",
-                         serving_dtype=jnp.bfloat16)
+                         engine=engine,
+                         serving_dtype=jnp.bfloat16,
+                         block_rows=int(block_rows) if block_rows else None)
     build_s = time.perf_counter() - t0
     m = _measure(
         idx,
