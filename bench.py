@@ -296,8 +296,9 @@ def main():
     params, train_s = _load_or_train_params(hashing, data)
 
     # -- index build on the FULL corpus (the build-time metric) ---------
-    # bf16 layout: halves streamed bytes; grouped engine runs native
-    # bf16 MXU matmuls (recall impact < 1e-3 at this operating point).
+    # f32 layout: the grouped engine is group-overhead-bound here, so
+    # bf16's byte savings buy nothing while its storage rounding costs
+    # recall on near-tied neighbours (the sweep below measures both).
     # Timed twice: the first build carries one-off jit compiles whose
     # duration is set by the remote compile helper (13-155 s observed
     # for the same program), the second is the steady-state rebuild

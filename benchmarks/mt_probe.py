@@ -115,7 +115,9 @@ def main():
                windows=int(layout.n_rows // br),
                g_static=int(g_static), g_exact=int(g_exact))
 
-    qe = extend_queries(layout, queries).astype(layout.data.dtype)
+    # queries stay f32 regardless of layout dtype — same as the shipped
+    # serving path (single-row dynamic VMEM loads only lower for f32)
+    qe = extend_queries(layout, queries)
     for name, g_tot in (("static", g_static), ("exact", g_exact)):
         g_total = -(-max(g_tot, 1) // _GROUP_EB) * _GROUP_EB
 

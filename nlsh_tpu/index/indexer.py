@@ -163,6 +163,7 @@ class Indexer:
         self.params = params
         self.corpus = corpus
         self.metric = metric
+        self._layout = None
         self.engine = engine
         self.layout_mode = layout_mode
         self.block_rows = block_rows  # None = module default
@@ -174,7 +175,26 @@ class Indexer:
         if probe_budget is None:
             probe_budget = int(self.table.max_count())
         self.probe_budget = max(int(probe_budget), 1)
-        self._layout = None
+
+    @property
+    def engine(self) -> str:
+        return self._engine
+
+    @engine.setter
+    def engine(self, value: str):
+        """Switching engines invalidates the cached serving layout when
+        the alignment requirement changes: the windowed engine reads a
+        DENSE (8-row-aligned) layout, every other Pallas engine a
+        cap-aligned one — serving windowed on a stale cap-aligned layout
+        silently forfeits its density win, and the reverse switch raised
+        mid-serve."""
+        if value not in self.ENGINES:
+            raise ValueError(f"unknown engine {value!r}")
+        old = getattr(self, "_engine", None)
+        self._engine = value
+        windowed = "pallas-windowed"
+        if self._layout is not None and (value == windowed) != (old == windowed):
+            self._layout = None
 
     @property
     def layout(self):
@@ -189,9 +209,9 @@ class Indexer:
                 and self.corpus.shape[0] >= self.HOST_LAYOUT_ROWS
             )
             build = serving_layout_host if host else serving_layout
-            # the windowed engine reads dense (8-row-aligned) layouts;
-            # block/cap-aligned engines raise on them, so an engine
-            # switch after first use needs a fresh layout
+            # the windowed engine reads dense (8-row-aligned) layouts,
+            # every other engine cap-aligned ones (the engine setter
+            # invalidates this cache on a windowed<->other switch)
             align = 8 if self.engine == "pallas-windowed" else None
             self._layout = build(
                 self.table, self.corpus, metric=self.metric,

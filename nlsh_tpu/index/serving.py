@@ -32,6 +32,39 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _chunked_serve(queries, probe_ids, probe_valid, query_chunk: int,
+                   bound_fn, call_fn):
+    """Shared pad/chunk/concat scaffold of the grouped and windowed
+    wrappers: tail chunks are padded to the full chunk shape (one
+    compiled variant regardless of nq), ``bound_fn(c_pad, pid)`` sizes
+    the chunk's group table, ``call_fn(qs, pid, pv, g_total)`` serves
+    it, and per-chunk results concatenate."""
+    nq = queries.shape[0]
+    out_ids, out_scores, out_cand = [], [], []
+    for s in range(0, nq, query_chunk):
+        e = min(s + query_chunk, nq)
+        c = e - s
+        c_pad = min(query_chunk, nq) if s == 0 else query_chunk
+        pid = probe_ids[s:e]
+        pv = probe_valid[s:e]
+        qs = queries[s:e]
+        if c < c_pad:
+            pid = jnp.pad(pid, ((0, c_pad - c), (0, 0)))
+            pv = jnp.pad(pv, ((0, c_pad - c), (0, 0)))
+            qs = jnp.pad(qs, ((0, c_pad - c), (0, 0)))
+        ids, scores, n_cand = call_fn(qs, pid, pv, bound_fn(c_pad, pid))
+        out_ids.append(ids[:c])
+        out_scores.append(scores[:c])
+        out_cand.append(n_cand[:c])
+    if len(out_ids) == 1:
+        return out_ids[0], out_scores[0], out_cand[0]
+    return (
+        jnp.concatenate(out_ids, 0),
+        jnp.concatenate(out_scores, 0),
+        jnp.concatenate(out_cand, 0),
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "interpret"))
 def serving_query(
     layout: ServingLayout,
@@ -304,9 +337,11 @@ def serving_query_grouped(
 ) -> tuple[Array, Array, Array]:
     """Bucket-grouped serving path (the fast engine): block events are
     sorted by bucket block and queries sharing a block are scored with
-    one MXU matmul; hot blocks are fetched once, ``_GROUP_EB`` groups
-    run per grid step, and bf16 layouts run native bf16 MXU matmuls.
-    Exact whenever ``layout.cap`` covers the probed buckets.
+    one MXU matmul; hot blocks are fetched once and ``_GROUP_EB`` groups
+    run per grid step.  Score dots run at precision HIGHEST with f32
+    queries — a bf16 layout only rounds corpus *storage* (halves
+    streamed bytes).  Exact whenever ``layout.cap`` covers the probed
+    buckets.
 
     The group table is sized by a static bound (layout blocks + events
     / G) — NO host sync, one compiled shape per (layout, chunk shape)
@@ -337,42 +372,24 @@ def serving_query_grouped(
         interpret = _jax.default_backend() != "tpu"
     if group_q is None:
         group_q = int(os.environ.get("NLSH_GROUP_Q", 32))
-    nq = queries.shape[0]
     max_blocks = layout.cap // layout.br
-    out_ids, out_scores, out_cand = [], [], []
-    for s in range(0, nq, query_chunk):
-        e = min(s + query_chunk, nq)
-        c = e - s
-        # pad the tail chunk to the full chunk shape: one compiled
-        # variant regardless of nq
-        c_pad = min(query_chunk, nq) if s == 0 else query_chunk
-        pid = probe_ids[s:e]
-        pv = probe_valid[s:e]
-        qs = queries[s:e]
-        if c < c_pad:
-            pid = jnp.pad(pid, ((0, c_pad - c), (0, 0)))
-            pv = jnp.pad(pv, ((0, c_pad - c), (0, 0)))
-            qs = jnp.pad(qs, ((0, c_pad - c), (0, 0)))
+
+    def bound(c_pad, pid):
         g_bound = (g_total_override if g_total_override is not None
                    else grouped_static_bound(
                        c_pad * pid.shape[1], max_blocks,
                        layout.total_blocks, group_q))
-        g_total = _round_up(max(g_bound, 1), _GROUP_EB)
-        ids, scores, n_cand = _grouped_query_jit(
+        return _round_up(max(g_bound, 1), _GROUP_EB)
+
+    def call(qs, pid, pv, g_total):
+        return _grouped_query_jit(
             layout, qs, pid, pv, full_counts,
             k=k, g_total=g_total, max_blocks=max_blocks, group_q=group_q,
             interpret=interpret, row_k=row_k,
         )
-        out_ids.append(ids[:c])
-        out_scores.append(scores[:c])
-        out_cand.append(n_cand[:c])
-    if len(out_ids) == 1:
-        return out_ids[0], out_scores[0], out_cand[0]
-    return (
-        jnp.concatenate(out_ids, 0),
-        jnp.concatenate(out_scores, 0),
-        jnp.concatenate(out_cand, 0),
-    )
+
+    return _chunked_serve(queries, probe_ids, probe_valid, query_chunk,
+                          bound, call)
 
 
 @partial(jax.jit, static_argnames=("k", "g_total", "max_sub", "group_q",
@@ -489,38 +506,22 @@ def serving_query_windowed(
         interpret = _jax.default_backend() != "tpu"
     if group_q is None:
         group_q = int(os.environ.get("NLSH_GROUP_Q", GROUP_W))
-    nq = queries.shape[0]
     max_sub = layout.cap // layout.br + 1
     total_windows = layout.n_rows // layout.br
-    out_ids, out_scores, out_cand = [], [], []
-    for s in range(0, nq, query_chunk):
-        e = min(s + query_chunk, nq)
-        c = e - s
-        c_pad = min(query_chunk, nq) if s == 0 else query_chunk
-        pid = probe_ids[s:e]
-        pv = probe_valid[s:e]
-        qs = queries[s:e]
-        if c < c_pad:
-            pid = jnp.pad(pid, ((0, c_pad - c), (0, 0)))
-            pv = jnp.pad(pv, ((0, c_pad - c), (0, 0)))
-            qs = jnp.pad(qs, ((0, c_pad - c), (0, 0)))
+
+    def bound(c_pad, pid):
         g_bound = (g_total_override if g_total_override is not None
                    else windowed_static_bound(
                        c_pad * pid.shape[1], max_sub, total_windows,
                        group_q))
-        g_total = _round_up(max(g_bound, 1), _GROUP_EB)
-        ids, scores, n_cand = _windowed_query_jit(
+        return _round_up(max(g_bound, 1), _GROUP_EB)
+
+    def call(qs, pid, pv, g_total):
+        return _windowed_query_jit(
             layout, qs, pid, pv, full_counts,
             k=k, g_total=g_total, max_sub=max_sub, group_q=group_q,
             interpret=interpret, row_k=row_k,
         )
-        out_ids.append(ids[:c])
-        out_scores.append(scores[:c])
-        out_cand.append(n_cand[:c])
-    if len(out_ids) == 1:
-        return out_ids[0], out_scores[0], out_cand[0]
-    return (
-        jnp.concatenate(out_ids, 0),
-        jnp.concatenate(out_scores, 0),
-        jnp.concatenate(out_cand, 0),
-    )
+
+    return _chunked_serve(queries, probe_ids, probe_valid, query_chunk,
+                          bound, call)

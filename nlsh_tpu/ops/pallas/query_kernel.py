@@ -29,6 +29,8 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,13 +48,11 @@ LANE = 128  # TPU lane width; feature dim padded to a multiple
 # makes f32-layout scoring exact and bf16-layout scoring exact-given-
 # storage (only the corpus rounding remains); the engines are group-
 # overhead-bound, not MXU-bound, so the extra passes are ~free.
-import os as _os_prec
-
 _DOT_PREC = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os_prec.environ.get("NLSH_KERNEL_PRECISION", "highest")]
+}[os.environ.get("NLSH_KERNEL_PRECISION", "highest")]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -420,8 +420,6 @@ def _score_kernel(starts_ref, counts_ref, q_ref, corpus_ref, out_ref,
     jax.lax.fori_loop(0, n_steps, body, 0, unroll=False)
 
 
-import os
-
 _N_BUF = 4   # DMA pipeline depth
 _Q_BLOCK = 8  # queries per program (amortises per-program fixed cost)
 # events per program in the pipelined kernels; env-overridable for tuning
@@ -560,8 +558,6 @@ def _bucket_scores_auto(data, queries_ext, block_idx, counts,
 # the same pipeline, and occupancy masking happens in XLA afterwards —
 # only the block index itself needs scalar prefetch.
 
-import os as _os_br
-
 # DEFAULT rows per compact block (one DMA).  NLSH_BLOCK_ROWS to
 # experiment: bigger blocks amortize per-DMA/per-group overhead against
 # more per-bucket padding bytes.  Measured on chip at the bench workload
@@ -572,7 +568,7 @@ import os as _os_br
 # every engine derives block indices from the layout's own value, so
 # low-occupancy tables can be built with smaller blocks without any
 # env coordination.
-BLOCK_ROWS = int(_os_br.environ.get("NLSH_BLOCK_ROWS", 512))
+BLOCK_ROWS = int(os.environ.get("NLSH_BLOCK_ROWS", 512))
 
 
 def _br(block_rows: int | None) -> int:
@@ -735,13 +731,11 @@ def _make_grouped_kernel_v3(eb: int):
     return kernel
 
 
-import os as _os
-
 # groups per grid step in the v3 kernel (NLSH_GROUP_EB to experiment).
 # Measured on chip at the bench workload: 8 -> 87.0k QPS, 16 -> 77.2k —
 # more operand streams per step hurt (VMEM pressure / DMA scheduling),
 # so per-grid-step overhead is NOT the serve-time driver; group COUNT is.
-_GROUP_EB = int(_os.environ.get("NLSH_GROUP_EB", 8))
+_GROUP_EB = int(os.environ.get("NLSH_GROUP_EB", 8))
 
 
 @partial(jax.jit, static_argnames=("interpret", "block_rows"))
@@ -749,8 +743,9 @@ def _grouped_scores_v3(data, grp_qvecs, grp_block, interpret: bool,
                        block_rows: int | None = None):
     """Score all groups, eb at a time: ``(g_total, G, block_rows)``.
 
-    grp_qvecs: ``(g_total, G, d_pad)`` in the LAYOUT dtype (bf16 layouts
-    run native bf16xbf16 MXU matmuls); grp_block: ``(g_total,)`` int32.
+    grp_qvecs: ``(g_total, G, d_pad)`` f32 (queries stay f32; a bf16
+    LAYOUT is upcast in-kernel and dotted at ``_DOT_PREC`` — the layout
+    dtype only rounds corpus storage); grp_block: ``(g_total,)`` int32.
     Groups are bucket-block-sorted by the prep, so repeated hot blocks
     are consecutive and mostly land on the same operand slot across
     steps, where Mosaic elides the re-fetch.

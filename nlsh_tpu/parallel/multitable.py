@@ -387,7 +387,11 @@ class MultiTableIndexer:
         )
 
         br = _br(self.block_rows)
-        cap = round_cap(int(jnp.max(self.counts)), br)
+        # cap from probe_budget (default: the max bucket count), like the
+        # single-table Indexer — so a custom budget truncates the Pallas
+        # engines the same way it truncates the XLA path and the
+        # exact_query_size metric, keeping query_size engine-independent
+        cap = round_cap(self.probe_budget, br)
         # grouped engine: block-aligned bucket starts shrink the
         # stacked (L-copy!) layout ~cap/block_rows-fold vs cap
         # alignment; windowed engine: DENSE 8-row-aligned starts (its
@@ -545,7 +549,12 @@ class MultiTableIndexer:
         recall-at-query-size comparisons are engine-independent
         (round-2 VERDICT weak #7).  Uses the same probe path and key
         as :meth:`query`, so the counts describe exactly the batch a
-        `query(..., key=key)` call served."""
+        `query(..., key=key)` call served.  Truncation is at
+        ``probe_budget`` (the stacked layout rounds its cap up to a
+        whole block, so the Pallas engines can score up to
+        ``round_cap(probe_budget) - probe_budget`` extra rows of an
+        over-budget bucket; the default budget is the max bucket count,
+        where no truncation happens anywhere)."""
         if key is None:
             key = jax.random.PRNGKey(0)
         queries = jnp.asarray(queries)

@@ -521,6 +521,40 @@ def test_indexer_windowed_engine():
     assert (r_top == w_top).mean() > 0.98
 
 
+def test_indexer_engine_switch_rebuilds_layout():
+    """Switching windowed<->other engines must invalidate the cached
+    serving layout: the windowed engine reads a DENSE (align=8) layout,
+    every other Pallas engine a cap-aligned one.  Before the engine
+    setter, the switch either raised mid-serve or silently served
+    windowed on a cap-aligned layout."""
+    rng = np.random.default_rng(23)
+    n, d, nq, k = 600, 16, 24, 5
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    enc = MLPEncoder(d, (32,))
+    hashing = MultivariateBernoulli(enc, 6)
+    params = hashing.init(jax.random.PRNGKey(0))
+
+    idx = Indexer(hashing, params, corpus, engine="pallas")
+    f_top, f_cand = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    assert idx._layout.align == idx._layout.cap
+
+    idx.engine = "pallas-windowed"  # must drop the cap-aligned layout
+    w_top, w_cand = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    assert idx._layout.align == 8
+    np.testing.assert_array_equal(w_cand, f_cand)
+    assert (f_top == w_top).mean() > 0.98
+
+    idx.engine = "pallas-grouped"  # dense layout would raise mid-serve
+    g_top, g_cand = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    assert idx._layout.align == idx._layout.cap
+    np.testing.assert_array_equal(g_cand, f_cand)
+    assert (f_top == g_top).mean() > 0.98
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        idx.engine = "nope"
+
+
 def test_grouped_engine_rejects_dense_layout():
     from nlsh_tpu.index.serving import serving_query_grouped
 
