@@ -324,6 +324,40 @@ def test_fixed_cap_engine_rejects_block_aligned_layout():
                       interpret=True)
 
 
+@pytest.mark.parametrize("serve_name", ["grouped", "windowed"])
+def test_chunked_serve_matches_single_chunk(serve_name):
+    """The shared pad/chunk/concat scaffold (query_chunk smaller than
+    nq, tail chunk padded to the full chunk shape) must return exactly
+    the single-chunk results."""
+    from nlsh_tpu.index.serving import (
+        serving_query_grouped, serving_query_windowed,
+    )
+
+    serve = {"grouped": serving_query_grouped,
+             "windowed": serving_query_windowed}[serve_name]
+    rng = np.random.default_rng(29)
+    n, d, nb, nq, P, k = 500, 24, 16, 21, 5, 7
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    bucket_ids = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
+    probe_raw = np.sort(rng.integers(0, nb, (nq, P)).astype(np.int32), axis=1)
+    probe_valid = jnp.asarray(np.concatenate(
+        [np.ones((nq, 1), bool), probe_raw[:, 1:] != probe_raw[:, :-1]],
+        axis=1,
+    ))
+    probe_ids = jnp.asarray(probe_raw)
+    table = build_bucket_table(bucket_ids, nb)
+    align = 8 if serve_name == "windowed" else None
+    layout = serving_layout(table, corpus, metric="cosine", align=align)
+
+    ref = serve(layout, queries, probe_ids, probe_valid, table.counts,
+                k=k, interpret=True)
+    out = serve(layout, queries, probe_ids, probe_valid, table.counts,
+                k=k, interpret=True, query_chunk=8)  # 8 + 8 + tail 5
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_grouped_exact_bound_override_matches_static():
     """The host-computed exact group bound must allocate enough groups:
     serving with g_total_override=exact bound returns exactly the
