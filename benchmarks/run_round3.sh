@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-3 measurement campaign: run every BASELINE config + the exact
+# brute-force baseline sequentially on the real chip, appending one
+# JSON line each to benchmarks/artifacts/round3_runs.jsonl.
+# Usage: bash benchmarks/run_round3.sh [keys...]   (default: all)
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+OUT=benchmarks/artifacts/round3_runs.jsonl
+KEYS=${@:-"1 2 3 4 5 pq exact"}
+for key in $KEYS; do
+  echo "=== config $key $(date +%H:%M:%S) ===" >&2
+  if [ "$key" = exact ]; then
+    timeout 1500 python benchmarks/baseline_exact.py >> "$OUT" 2> >(tail -5 >&2)
+  elif [ "$key" = 5 ]; then
+    # 2M single-chip point first (bounded), then full 10M
+    NLSH_CONFIG5_N=2000000 timeout 2400 python benchmarks/configs.py 5 >> "$OUT" 2> >(tail -5 >&2)
+    timeout 3600 python benchmarks/configs.py 5 >> "$OUT" 2> >(tail -5 >&2)
+  else
+    timeout 2400 python benchmarks/configs.py "$key" >> "$OUT" 2> >(tail -5 >&2)
+  fi
+  echo "=== done $key rc=$? $(date +%H:%M:%S) ===" >&2
+done

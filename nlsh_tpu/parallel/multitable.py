@@ -177,27 +177,13 @@ class MultiTableIndexer:
                  probe_budget: int | None = None, mesh: Mesh | None = None,
                  engine: str = "auto", serving_dtype=None,
                  block_rows: int | None = None):
-        if engine not in ("auto", "xla", "pallas", "pallas-grouped",
-                          "pallas-windowed"):
-            raise ValueError(f"unknown engine {engine!r}")
         self.block_rows = block_rows  # None = module default
-        if engine == "auto":
-            # windowed: ensemble tables have L*NB buckets over one
-            # corpus, so the mean bucket is far below the block size —
-            # the dense-window engine's design point (group count ~
-            # probed windows, not probed buckets)
-            engine = (
-                "pallas-windowed"
-                if jax.default_backend() == "tpu"
-                and metric in ("cosine", "euclidean", "sq_euclidean")
-                else "xla"
-            )
         self.hashing = hashing
         self.params = stacked_params
         self.corpus = jnp.asarray(corpus)
         self.metric = metric
         self.mesh = mesh
-        self.engine = engine
+        self.engine = engine  # setter: validates, resolves "auto"
         self.serving_dtype = serving_dtype or jnp.float32
         self._query_cache: dict = {}
         self._stacked = None
@@ -231,6 +217,37 @@ class MultiTableIndexer:
         if probe_budget is None:
             probe_budget = int(jnp.max(self.counts))
         self.probe_budget = max(int(probe_budget), 1)
+
+    @property
+    def engine(self) -> str:
+        return self._engine
+
+    @engine.setter
+    def engine(self, value: str):
+        """Validates, resolves ``"auto"``, and drops the stacked layout
+        (whose start alignment is engine-specific: grouped=block_rows,
+        windowed=8, else cap) plus the windowed calibration bound on an
+        engine change — a stale-aligned stack would silently serve the
+        new engine without its layout's design point."""
+        if value not in ("auto", "xla", "pallas", "pallas-grouped",
+                         "pallas-windowed"):
+            raise ValueError(f"unknown engine {value!r}")
+        if value == "auto":
+            # windowed: ensemble tables have L*NB buckets over one
+            # corpus, so the mean bucket is far below the block size —
+            # the dense-window engine's design point (group count ~
+            # probed windows, not probed buckets)
+            value = (
+                "pallas-windowed"
+                if jax.default_backend() == "tpu"
+                and self.metric in ("cosine", "euclidean", "sq_euclidean")
+                else "xla"
+            )
+        old = getattr(self, "_engine", None)
+        self._engine = value
+        if old is not None and value != old:
+            self._stacked = None
+            self._g_cal = None
 
     # -- core rerank over the union of all tables' candidates ---------------
 

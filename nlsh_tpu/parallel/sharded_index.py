@@ -57,32 +57,14 @@ class ShardedIndexer:
                  metric: str = "cosine", probe_budget: int | None = None,
                  engine: str = "auto", serving_dtype=None,
                  layout_mode: str = "auto", block_rows: int | None = None):
-        if engine not in ("auto", "xla", "pallas", "pallas-grouped",
-                          "pallas-compact", "pallas-windowed"):
-            raise ValueError(f"unknown engine {engine!r}")
-        if engine == "pallas-compact" and mesh.devices.size > 1:
-            raise ValueError(
-                "pallas-compact sizes its block stream with per-chunk host "
-                "syncs, which cannot live inside one shard_map program; "
-                "use pallas-grouped on multi-device meshes"
-            )
         self.block_rows = block_rows  # None = module default
         if layout_mode not in ("auto", "device", "host"):
             raise ValueError(f"unknown layout_mode {layout_mode!r}")
-        if engine == "auto":
-            # grouped dominates fixed-cap at every measured operating
-            # point (RESULTS.md r2) and its layout needs ~3x less HBM
-            engine = (
-                "pallas-grouped"
-                if jax.default_backend() == "tpu"
-                and metric in ("cosine", "euclidean", "sq_euclidean")
-                else "xla"
-            )
         self.hashing = hashing
         self.params = params
         self.mesh = mesh
         self.metric = metric
-        self.engine = engine
+        self.engine = engine  # setter: validates, resolves "auto"
         self.serving_dtype = serving_dtype or jnp.float32
         self.layout_mode = layout_mode
         self._query_cache: dict = {}
@@ -172,6 +154,40 @@ class ShardedIndexer:
         if probe_budget is None:
             probe_budget = int(jnp.max(counts))
         self.probe_budget = max(int(probe_budget), 1)
+
+    @property
+    def engine(self) -> str:
+        return self._engine
+
+    @engine.setter
+    def engine(self, value: str):
+        """Validates, resolves ``"auto"``, and drops the per-shard
+        layouts (whose start alignment is engine-specific) on an engine
+        change — serving a new engine on stale-aligned layouts either
+        raises mid-serve or silently forfeits the engine's design
+        point."""
+        if value not in ("auto", "xla", "pallas", "pallas-grouped",
+                         "pallas-compact", "pallas-windowed"):
+            raise ValueError(f"unknown engine {value!r}")
+        if value == "pallas-compact" and self.mesh.devices.size > 1:
+            raise ValueError(
+                "pallas-compact sizes its block stream with per-chunk host "
+                "syncs, which cannot live inside one shard_map program; "
+                "use pallas-grouped on multi-device meshes"
+            )
+        if value == "auto":
+            # grouped dominates fixed-cap at every measured operating
+            # point (RESULTS.md r2) and its layout needs ~3x less HBM
+            value = (
+                "pallas-grouped"
+                if jax.default_backend() == "tpu"
+                and self.metric in ("cosine", "euclidean", "sq_euclidean")
+                else "xla"
+            )
+        old = getattr(self, "_engine", None)
+        self._engine = value
+        if old is not None and value != old:
+            self._layouts = None
 
     # -- observability ----------------------------------------------------
     def n_buckets_used(self) -> int:

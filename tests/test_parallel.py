@@ -327,6 +327,65 @@ def test_multitable_exact_query_size_matches_xla(data):
     )
 
 
+def test_multitable_engine_switch_rebuilds_stack(data):
+    """Switching engines post-init must drop the stacked layout (its
+    start alignment is engine-specific) and the windowed calibration
+    bound — results must match the XLA reference after the switch."""
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    key = jax.random.PRNGKey(3)
+    stacked = init_multi_table(hashing, 4, jax.random.PRNGKey(0))
+
+    ref = MultiTableIndexer(hashing, stacked, corpus, engine="xla")
+    x_top, _ = ref.query(queries, k=5, hash_times=2, key=key)
+
+    idx = MultiTableIndexer(hashing, stacked, corpus,
+                            engine="pallas-windowed")
+    idx.calibrate(queries[:8], hash_times=2)
+    assert idx._g_cal is not None
+    w_top, _ = idx.query(queries, k=5, hash_times=2, key=key)
+    assert (np.asarray(w_top) == np.asarray(x_top)).mean() > 0.98
+
+    idx.engine = "pallas-grouped"  # stale windowed stack would misalign
+    assert idx._stacked is None and idx._g_cal is None
+    g_top, _ = idx.query(queries, k=5, hash_times=2, key=key)
+    assert (np.asarray(g_top) == np.asarray(x_top)).mean() > 0.98
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        idx.engine = "nope"
+
+
+def test_sharded_engine_switch_rebuilds_layouts(data):
+    """Switching a ShardedIndexer's engine post-init must drop the
+    per-shard layouts (engine-specific start alignment) and still
+    reproduce the XLA reference results after the switch."""
+    from nlsh_tpu.index import Indexer
+
+    hashing = _hashing()
+    params = hashing.init(jax.random.PRNGKey(0))
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    key = jax.random.PRNGKey(7)
+
+    ref = Indexer(hashing, params, corpus, metric="cosine", engine="xla")
+    x_top, x_cand = ref.query(queries, k=5, hash_times=4, key=key)
+
+    mesh = make_mesh(2, axis="shard")
+    si = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                        engine="pallas-grouped")
+    si.query(queries, k=5, hash_times=4, key=key)
+    assert si._layouts is not None
+    si.engine = "pallas-windowed"
+    assert si._layouts is None
+    w_top, w_cand = si.query(queries, k=5, hash_times=4, key=key)
+    np.testing.assert_array_equal(w_cand, np.asarray(x_cand))
+    assert (np.sort(w_top, 1) == np.sort(np.asarray(x_top), 1)).mean() > 0.99
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        si.engine = "nope"
+
+
 def test_multitable_windowed_sync_bound_matches_xla(data, monkeypatch):
     """The windowed exact-group-bound host sync (opt-in via
     NLSH_MT_SYNC_BOUND_WINDOWED) must not change windowed-engine
