@@ -338,7 +338,8 @@ def main():
             indexer.engine = engine
             indexer.serving_dtype = sdtype
             indexer.probe_budget = int(cap)
-            indexer._layout = None  # rebuild serving layout at this cap
+            # layout rebuild at this (engine, dtype, cap) is automatic:
+            # Indexer.layout compares its knob signature on every access
             top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
                                         key=qkey, probe_mode="flip")  # warm
             # throughput timing: PIPELINE_DEPTH full serving batches run

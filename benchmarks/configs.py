@@ -65,6 +65,7 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
     from nlsh_tpu.train import MultiTableTrainer, TripletTrainer
 
     path = None
+    margin, positive_k = 0.5, 20
     if cache_tag:
         cache_dir = "/tmp/nlsh_bench_cache"
         os.makedirs(cache_dir, exist_ok=True)
@@ -73,8 +74,22 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
             f"cfgparams_{cache_tag}_s{steps}_b{batch_size}"
             f"_t{n_tables or 1}_v2.msgpack",
         )
+    # self-verifying meta (the bench.py cache pattern): every training
+    # hyper-parameter plus a data fingerprint rides a sidecar json —
+    # a tag collision or a tuned hparam that kept the param SHAPES
+    # (lr, margin, data regen) must recompute, never silently serve
+    # a stale fit
+    tr_np = np.asarray(data.training[:64], dtype=np.float64)
+    meta = {
+        "steps": steps, "batch_size": batch_size, "lr": lr,
+        "n_tables": n_tables or 1, "margin": margin,
+        "positive_k": positive_k,
+        "hashing": type(hashing).__name__,
+        "data_shape": list(np.asarray(data.training).shape),
+        "data_sum": float(tr_np.sum()),
+    }
     tr = TripletTrainer(hashing, data, "/tmp/nlsh_bench_models",
-                        margin=0.5, positive_k=20)
+                        margin=margin, positive_k=positive_k)
     if n_tables:
         tr = MultiTableTrainer(tr, n_tables)
     if path and os.path.exists(path):
@@ -82,13 +97,19 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
 
         from flax import serialization
 
-        key = jax.random.PRNGKey(0)
-        like = {"hashing": tr.init_hashing_params(key),
-                "extra": tr.init_extra(key)}
-        with open(path, "rb") as f:
-            params = serialization.from_bytes(like, f.read())
-        state = types.SimpleNamespace(params=params)
-        return state, 0.0
+        stored = None
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                stored = json.load(f)
+        if stored == meta:
+            key = jax.random.PRNGKey(0)
+            like = {"hashing": tr.init_hashing_params(key),
+                    "extra": tr.init_extra(key)}
+            with open(path, "rb") as f:
+                params = serialization.from_bytes(like, f.read())
+            state = types.SimpleNamespace(params=params)
+            return state, 0.0
+        _log(f"param cache meta mismatch for {path}: retraining")
     t0 = time.perf_counter()
     state = tr.fit(K=10, batch_size=batch_size, learning_rate=lr,
                    epochs=1000, test_every_updates=10**9, max_steps=steps,
@@ -103,6 +124,8 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
             f.write(serialization.to_bytes(
                 jax.tree.map(np.asarray, state.params)
             ))
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
     return state, train_s
 
 

@@ -182,24 +182,28 @@ class Indexer:
 
     @engine.setter
     def engine(self, value: str):
-        """Switching engines invalidates the cached serving layout when
-        the alignment requirement changes: the windowed engine reads a
-        DENSE (8-row-aligned) layout, every other Pallas engine a
-        cap-aligned one — serving windowed on a stale cap-aligned layout
-        silently forfeits its density win, and the reverse switch raised
-        mid-serve."""
         if value not in self.ENGINES:
             raise ValueError(f"unknown engine {value!r}")
-        old = getattr(self, "_engine", None)
         self._engine = value
-        windowed = "pallas-windowed"
-        if self._layout is not None and (value == windowed) != (old == windowed):
-            self._layout = None
+
+    def _layout_signature(self) -> tuple:
+        """Everything the cached serving layout depends on.  The layout
+        property rebuilds whenever this changes, so mutating ANY serving
+        knob post-init (engine, probe_budget, serving_dtype, block_rows,
+        layout_mode) invalidates correctly — the windowed engine reads a
+        DENSE (8-row-aligned) layout, every other Pallas engine a
+        cap-aligned one, and a stale-knobbed layout either raises
+        mid-serve or silently serves the wrong alignment/dtype/cap."""
+        align = 8 if self.engine == "pallas-windowed" else None
+        return (align, jnp.dtype(self.serving_dtype).name,
+                int(self.probe_budget), self.block_rows, self.layout_mode)
 
     @property
     def layout(self):
-        """Lazily-built bucket-contiguous serving layout (Pallas path)."""
-        if self._layout is None:
+        """Lazily-built bucket-contiguous serving layout (Pallas path),
+        rebuilt when any serving knob changed since the last build."""
+        sig = self._layout_signature()
+        if self._layout is None or getattr(self, "_layout_sig", None) != sig:
             from nlsh_tpu.ops.pallas.query_kernel import (
                 serving_layout, serving_layout_host,
             )
@@ -209,15 +213,13 @@ class Indexer:
                 and self.corpus.shape[0] >= self.HOST_LAYOUT_ROWS
             )
             build = serving_layout_host if host else serving_layout
-            # the windowed engine reads dense (8-row-aligned) layouts,
-            # every other engine cap-aligned ones (the engine setter
-            # invalidates this cache on a windowed<->other switch)
-            align = 8 if self.engine == "pallas-windowed" else None
+            align, dtype_name, cap, block_rows, _ = sig
             self._layout = build(
                 self.table, self.corpus, metric=self.metric,
-                cap=self.probe_budget, dtype=self.serving_dtype,
-                block_rows=self.block_rows, align=align,
+                cap=cap, dtype=jnp.dtype(dtype_name),
+                block_rows=block_rows, align=align,
             )
+            self._layout_sig = sig
         return self._layout
 
     # -- observability (reference trainers/base.py:87-90) ------------------

@@ -738,6 +738,17 @@ def _make_grouped_kernel_v3(eb: int):
 _GROUP_EB = int(os.environ.get("NLSH_GROUP_EB", 8))
 
 
+def round_group_override(g_exact: int, static_bound: int) -> int:
+    """Shared sync-bound recipe for the grouped/windowed serving paths:
+    round a host-computed exact group bound up to ``_GROUP_EB`` times a
+    power of two (compile variants stay logarithmic across batch
+    variation) and clamp to the no-sync static bound — a group table
+    LARGER than static would cost more than the sync saves."""
+    units = max(-(-int(g_exact) // _GROUP_EB), 1)
+    return int(min(_GROUP_EB * (1 << (units - 1).bit_length()),
+                   int(static_bound)))
+
+
 @partial(jax.jit, static_argnames=("interpret", "block_rows"))
 def _grouped_scores_v3(data, grp_qvecs, grp_block, interpret: bool,
                        block_rows: int | None = None):

@@ -294,7 +294,9 @@ class MultiTableIndexer:
         return top, -neg_top, n_distinct
 
     def _query_fn(self, k: int, hash_times: int, query_chunk: int):
-        cache_key = (k, hash_times, query_chunk)
+        # probe_budget is closed over below — key on it so mutating it
+        # post-init reaches the compiled path
+        cache_key = (k, hash_times, query_chunk, self.probe_budget)
         if cache_key in self._query_cache:
             return self._query_cache[cache_key]
 
@@ -396,9 +398,21 @@ class MultiTableIndexer:
     # cost.  With a mesh the table axis is sharded: each device serves
     # its local tables' stack and per-device top-k lists merge over ICI.
 
+    def _stacked_signature(self) -> tuple:
+        """Everything the stacked layout depends on: mutating any of
+        these post-init (engine via its setter, probe_budget,
+        serving_dtype, block_rows) forces a rebuild — and drops the
+        windowed calibration bound, which was sized for the old
+        layout's cap/grouping."""
+        return (self.engine, jnp.dtype(self.serving_dtype).name,
+                int(self.probe_budget), self.block_rows)
+
     def _build_stacked(self):
+        sig = self._stacked_signature()
         if self._stacked is not None:
-            return self._stacked
+            if getattr(self, "_stacked_sig", None) == sig:
+                return self._stacked
+            self._g_cal = None  # calibrated for the stale layout
         from nlsh_tpu.ops.pallas.query_kernel import (
             _br, aligned_rows, layout_arrays, round_cap,
         )
@@ -457,6 +471,7 @@ class MultiTableIndexer:
                 norms = jax.device_put(norms, spec(self.axis, None))
         self._stacked = (data, row_map, astarts, norms, cap, align,
                          n_aligned, total_blocks)
+        self._stacked_sig = sig
         return self._stacked
 
     @staticmethod
@@ -503,14 +518,17 @@ class MultiTableIndexer:
 
     # -- exact distinct-candidate count (engine-independent query_size) ----
 
-    @partial(jax.jit, static_argnames=("self", "budget", "query_chunk"))
-    def _distinct_fn(self, row_ids, starts, counts, pids, pvalid,
-                     budget: int, query_chunk: int):
+    @staticmethod
+    @partial(jax.jit, static_argnames=("n_rows", "budget", "query_chunk"))
+    def _distinct_fn(row_ids, starts, counts, pids, pvalid,
+                     n_rows: int, budget: int, query_chunk: int):
         """Exact ``|union over tables of probed bucket members|`` per
         query — the id-gather half of :meth:`_gather_rerank` without the
         vector gather/rerank (ids are 4 bytes/candidate, so the gather
-        the hot serving path avoids is cheap as a metrics pass)."""
-        n_rows = self.corpus.shape[0]
+        the hot serving path avoids is cheap as a metrics pass).
+        Static (not ``self``-bound): jitting on ``self`` would pin every
+        indexer instance — corpus included — in the jit cache for
+        process lifetime and retrace per instance."""
         L, nq, n_probes = pids.shape
         offs = jnp.arange(budget, dtype=jnp.int32)
         n_chunks = -(-nq // query_chunk)
@@ -582,6 +600,7 @@ class MultiTableIndexer:
             )
         return np.asarray(self._distinct_fn(
             self.row_ids, self.starts, self.counts, pids, pvalid,
+            n_rows=self.corpus.shape[0],
             budget=self.probe_budget, query_chunk=query_chunk,
         ))
 
@@ -691,7 +710,7 @@ class MultiTableIndexer:
             import os
 
             from nlsh_tpu.ops.pallas.query_kernel import (
-                _GROUP_EB, GROUP_W, windowed_exact_bound,
+                GROUP_W, round_group_override, windowed_exact_bound,
                 windowed_static_bound,
             )
 
@@ -715,14 +734,12 @@ class MultiTableIndexer:
                     gpv[:, gp.shape[1]:].astype(bool), cap, G,
                     block_rows=br,
                 )
-                units = max(-(-g_exact // _GROUP_EB), 1)
-                g_override = _GROUP_EB * (1 << (units - 1).bit_length())
                 max_sub = cap // br + 1
                 static = windowed_static_bound(
                     nq * gp.shape[1], max_sub,
                     layout.n_rows // br, G,
                 )
-                g_override = min(g_override, static)
+                g_override = round_group_override(g_exact, static)
             ids, scores, n_cand = serving_query_windowed(
                 layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
                 g_total_override=g_override,
@@ -740,7 +757,7 @@ class MultiTableIndexer:
             import os
 
             from nlsh_tpu.ops.pallas.query_kernel import (
-                _GROUP_EB, grouped_exact_bound,
+                grouped_exact_bound, round_group_override,
             )
 
             g_override = None
@@ -759,8 +776,6 @@ class MultiTableIndexer:
                     gpv[:, gp.shape[1]:].astype(bool), cap, G,
                     block_rows=br,
                 )
-                units = max(-(-g_exact // _GROUP_EB), 1)
-                g_override = _GROUP_EB * (1 << (units - 1).bit_length())
                 from nlsh_tpu.ops.pallas.query_kernel import (
                     grouped_static_bound,
                 )
@@ -769,7 +784,7 @@ class MultiTableIndexer:
                     nq * gp.shape[1], cap // br,
                     layout.total_blocks, G,
                 )
-                g_override = min(g_override, static)  # never beyond static
+                g_override = round_group_override(g_exact, static)
             ids, scores, n_cand = serving_query_grouped(
                 layout, queries, gp, gv, layout.counts, k=k_fetch, row_k=k,
                 g_total_override=g_override,
@@ -796,7 +811,12 @@ class MultiTableIndexer:
         from nlsh_tpu.ops.pallas.query_kernel import _br
 
         br = _br(self.block_rows)
-        cache_key = ("serving", k, engine, queries.shape[0], pids.shape[-1])
+        # the cached program closes over the stacked layout's scalar
+        # geometry (cap/align/n_aligned/total_blocks/br) — key on them
+        # so a knob change that rebuilt the stack cannot pair new
+        # arrays with a program compiled for the old geometry
+        cache_key = ("serving", k, engine, queries.shape[0], pids.shape[-1],
+                     cap, align, n_aligned, total_blocks, br)
         if cache_key not in self._query_cache:
             axis = self.axis
             nb = self.hashing.n_buckets

@@ -215,7 +215,10 @@ class ShardedIndexer:
         occupancy anyway — a skewed shard costs only its own occupancy,
         not cap-many rows per probe (that was a fixed-cap-engine
         concern, round-1 VERDICT weak #6)."""
-        if self._layouts is not None:
+        sig = (self.engine, jnp.dtype(self.serving_dtype).name,
+               self.block_rows, self.layout_mode)
+        if self._layouts is not None \
+                and getattr(self, "_layouts_sig", None) == sig:
             return self._layouts
         from nlsh_tpu.ops.pallas.query_kernel import (
             _br, aligned_rows, layout_arrays, layout_arrays_host,
@@ -274,6 +277,7 @@ class ShardedIndexer:
                      if euclid else None)
             self._layouts = (data, row_map, astarts, norms, cap, align,
                              total_blocks)
+            self._layouts_sig = sig
             return self._layouts
 
         @jax.jit
@@ -302,6 +306,7 @@ class ShardedIndexer:
             norms = None
         self._layouts = (data, row_map, astarts, norms, cap, align,
                          total_blocks)
+        self._layouts_sig = sig
         return self._layouts
 
     def _serving_query_fn(self, k: int, engine: str,
@@ -312,8 +317,13 @@ class ShardedIndexer:
         int32 array — every extra eager op or output array costs a
         relay round-trip (~6-55 ms, CLAUDE.md), exactly like the
         single-table Indexer's fused dispatch."""
+        # the cached program closes over the layout ARRAYS, so the key
+        # carries every knob the layout depends on — a serving_dtype or
+        # block_rows change must not serve a program closed over the
+        # stale arrays
         cache_key = ("serving", k, engine, hash_times, probe_mode,
-                     g_override)
+                     g_override, jnp.dtype(self.serving_dtype).name,
+                     self.block_rows, self.layout_mode)
         if cache_key in self._query_cache:
             return self._query_cache[cache_key]
         from nlsh_tpu.index.serving import (
@@ -519,8 +529,8 @@ class ShardedIndexer:
                 # probe batches where the static bound is several-fold
                 # loose (see MultiTableIndexer, where it wins 4x).
                 from nlsh_tpu.ops.pallas.query_kernel import (
-                    _GROUP_EB, _br, grouped_exact_bound,
-                    grouped_static_bound,
+                    _br, grouped_exact_bound, grouped_static_bound,
+                    round_group_override,
                 )
 
                 probe_ids, probe_valid = self.hashing.hash(
@@ -533,15 +543,12 @@ class ShardedIndexer:
                     np.asarray(self.counts[0]), np.asarray(probe_ids),
                     np.asarray(probe_valid), cap, G, block_rows=br,
                 )
-                units = max(-(-g_exact // _GROUP_EB), 1)
-                g_override = _GROUP_EB * (1 << (units - 1).bit_length())
-                # never beyond the no-sync static bound (it would
-                # allocate a LARGER table + an extra compile variant)
                 _, _, _, _, _, _, total_blocks = self._layouts
-                g_override = min(g_override, grouped_static_bound(
-                    queries.shape[0] * probe_ids.shape[1], cap // br,
-                    total_blocks, G,
-                ))
+                g_override = round_group_override(
+                    g_exact, grouped_static_bound(
+                        queries.shape[0] * probe_ids.shape[1], cap // br,
+                        total_blocks, G,
+                    ))
             q = self._serving_query_fn(k, engine, hash_times, probe_mode,
                                        g_override)
             return q(

@@ -589,6 +589,40 @@ def test_indexer_engine_switch_rebuilds_layout():
         idx.engine = "nope"
 
 
+def test_indexer_knob_mutation_rebuilds_layout():
+    """Mutating serving_dtype / probe_budget / block_rows post-init
+    must rebuild the serving layout on the next access — the layout
+    property compares a knob signature instead of relying on callers
+    poking the private ``_layout`` (round-3 review finding)."""
+    rng = np.random.default_rng(29)
+    n, d, nq, k = 600, 16, 24, 5
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    enc = MLPEncoder(d, (32,))
+    hashing = MultivariateBernoulli(enc, 6)
+    params = hashing.init(jax.random.PRNGKey(0))
+
+    idx = Indexer(hashing, params, corpus, engine="pallas-grouped")
+    idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    lay0 = idx._layout
+    assert lay0.data.dtype == jnp.float32
+
+    idx.serving_dtype = jnp.bfloat16
+    idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    assert idx._layout is not lay0
+    assert idx._layout.data.dtype == jnp.bfloat16
+
+    old_cap = idx._layout.cap
+    idx.probe_budget = max(1, idx.probe_budget // 2)
+    idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    assert idx._layout.cap <= old_cap
+
+    # unchanged knobs must NOT rebuild (the cache still caches)
+    lay1 = idx._layout
+    idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    assert idx._layout is lay1
+
+
 def test_grouped_engine_rejects_dense_layout():
     from nlsh_tpu.index.serving import serving_query_grouped
 
