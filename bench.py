@@ -268,6 +268,46 @@ def _engine_parity(corpus_np, queries_np, hashing, params):
     return out, ok
 
 
+def _wait_for_backend(deadline_s: float) -> None:
+    """The TPU tunnel has observed multi-minute DOWN windows (backend
+    init itself raises UNAVAILABLE).  Probe it in a SUBPROCESS — an
+    in-process init failure poisons jax's cached backend state — and
+    wait up to ``deadline_s`` before letting main() touch a device, so
+    a driver run that lands in a down window still records a line."""
+    import subprocess
+    import sys
+
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np, jax.numpy as jnp;"
+                 "np.asarray(jnp.ones((8, 8)) + 1)"],
+                capture_output=True, timeout=max(60, deadline_s / 4),
+            )
+        except subprocess.TimeoutExpired as e:
+            r = subprocess.CompletedProcess(
+                e.cmd, returncode=-1, stdout=b"",
+                stderr=b"probe timed out (hung backend init)",
+            )
+        if r.returncode == 0:
+            if attempt > 1:
+                print(f"backend up after {time.perf_counter() - t0:.0f}s "
+                      f"({attempt} probes)", flush=True)
+            return
+        waited = time.perf_counter() - t0
+        if waited > deadline_s:
+            raise RuntimeError(
+                f"TPU backend unavailable for {waited:.0f}s "
+                f"(last stderr: {r.stderr.decode()[-300:]!r})"
+            )
+        print(f"backend down ({waited:.0f}s), retrying", flush=True)
+        time.sleep(15)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -276,6 +316,7 @@ def main():
     from nlsh_tpu.models import get_encoder, get_hashing
     from nlsh_tpu.utils.metrics import calculate_recall
 
+    _wait_for_backend(float(os.environ.get("NLSH_BENCH_INIT_WAIT", 240)))
     t_start = time.perf_counter()
     rng = np.random.default_rng(SEED)
 
