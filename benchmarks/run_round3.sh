@@ -7,7 +7,9 @@ set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=benchmarks/artifacts/round3_runs.jsonl
-KEYS=${@:-"1 2 3 4 5 pq exact"}
+# headline (3) and the round-2 gap (4) first: if the chip window is
+# short, the highest-stakes numbers are already recorded
+KEYS=${@:-"3 4 1 2 pq exact 5"}
 for key in $KEYS; do
   echo "=== config $key $(date +%H:%M:%S) ===" >&2
   if [ "$key" = exact ]; then
