@@ -67,7 +67,8 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
     path = None
     margin, positive_k = 0.5, 20
     if cache_tag:
-        cache_dir = "/tmp/nlsh_bench_cache"
+        cache_dir = os.environ.get("NLSH_BENCH_CACHE_DIR",
+                                   "/tmp/nlsh_bench_cache")
         os.makedirs(cache_dir, exist_ok=True)
         path = os.path.join(
             cache_dir,
@@ -79,14 +80,16 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
     # a tag collision or a tuned hparam that kept the param SHAPES
     # (lr, margin, data regen) must recompute, never silently serve
     # a stale fit
-    tr_np = np.asarray(data.training[:64], dtype=np.float64)
+    import hashlib
+
+    tr_np = np.ascontiguousarray(data.training[:64], dtype=np.float32)
     meta = {
         "steps": steps, "batch_size": batch_size, "lr": lr,
         "n_tables": n_tables or 1, "margin": margin,
         "positive_k": positive_k,
         "hashing": type(hashing).__name__,
         "data_shape": list(np.asarray(data.training).shape),
-        "data_sum": float(tr_np.sum()),
+        "data_digest": hashlib.sha1(tr_np.tobytes()).hexdigest()[:16],
     }
     tr = TripletTrainer(hashing, data, "/tmp/nlsh_bench_models",
                         margin=margin, positive_k=positive_k)

@@ -91,6 +91,50 @@ def test_params_cache_roundtrip(tiny_bench):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_configs_param_cache_meta_guard(tmp_path, monkeypatch):
+    """benchmarks/configs.py _train: a cache hit requires the sidecar
+    meta (every hyper-parameter + data fingerprint) to match — a tuned
+    lr with unchanged param shapes must retrain, not silently serve the
+    stale fit (round-3 review finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.configs import _train
+    from nlsh_tpu.models import get_encoder, get_hashing
+    from nlsh_tpu.ops.knn import self_knn
+
+    monkeypatch.setenv("NLSH_BENCH_CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(1)
+    sub = rng.normal(size=(64, 8)).astype(np.float32)
+    sub /= np.linalg.norm(sub, axis=1, keepdims=True)
+    sub_knn = np.asarray(self_knn(jnp.asarray(sub), k=8, metric="cosine"))
+    data = bench._BenchData(sub, sub[:8], np.zeros((8, 5), np.int32),
+                            sub_knn, "cosine")
+
+    def hashing():
+        return get_hashing("MultivariateBernoulli",
+                           get_encoder("mlp", 8, [16]), 4)
+
+    s1, t1 = _train(hashing(), data, steps=2, batch_size=16,
+                    cache_tag="testcfg")
+    assert t1 > 0
+    s2, t2 = _train(hashing(), data, steps=2, batch_size=16,
+                    cache_tag="testcfg")
+    assert t2 == 0.0  # hit
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # same tag/steps/batch (same filename) but different lr: must MISS
+    _, t3 = _train(hashing(), data, steps=2, batch_size=16, lr=5e-4,
+                   cache_tag="testcfg")
+    assert t3 > 0
+    # and different data (same shapes): must MISS too
+    data2 = bench._BenchData(sub[::-1].copy(), sub[:8],
+                             np.zeros((8, 5), np.int32), sub_knn, "cosine")
+    _, t4 = _train(hashing(), data2, steps=2, batch_size=16,
+                   cache_tag="testcfg")
+    assert t4 > 0
+
+
 def test_id_agreement():
     a = np.array([[1, 2, 3], [4, 5, -1]])
     assert bench._id_agreement(a, a) == 1.0
