@@ -23,7 +23,7 @@ LABELS = {
 
 
 def _fmt_qps(r):
-    qps = r.get("qps")
+    qps = r.get("qps", r.get("value"))  # bench.py lines use "value"
     per_call = r.get("qps_unpipelined")
     if qps is None:
         return "—"
