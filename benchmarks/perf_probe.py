@@ -33,7 +33,7 @@ K = 10
 SEED = 0
 
 
-def make_workload(rng):
+def make_workload(rng, skew: str = "trained"):
     import jax.numpy as jnp
 
     corpus = rng.normal(size=(N_CORPUS, DIM)).astype(np.float32)
@@ -43,8 +43,12 @@ def make_workload(rng):
 
     # bucket sizes ~ Dirichlet(20): std/mean ~0.22, max/mean ~2 — the
     # shape of the balance-regularised trained table (bench r1: mean
-    # 289, max 589)
-    probs = rng.dirichlet(np.full(N_BUCKETS, 20.0))
+    # 289, max 589).  --skew high: Dirichlet(0.3) — max/mean ~15-30,
+    # an UNregularised trained table, where every uniform-cap engine
+    # pays the giant buckets' cap on every probe — the compact
+    # engine's design point (streamed bytes track actual occupancy)
+    alpha = {"trained": 20.0, "high": 0.3}[skew]
+    probs = rng.dirichlet(np.full(N_BUCKETS, alpha))
     codes = rng.choice(N_BUCKETS, size=N_CORPUS, p=probs).astype(np.int32)
 
     # probes: a query's probe set is biased toward populous buckets the
@@ -73,16 +77,26 @@ def main():
         i = args.index("--dtype")
         dtype_arg = args[i + 1]
         args = args[:i] + args[i + 2:]
+    skew = "trained"
+    if "--skew" in args:
+        i = args.index("--skew")
+        skew = args[i + 1]
+        args = args[:i] + args[i + 2:]
     engines = args or ["pallas", "pallas-grouped"]
     dtypes = {"bf16": [jnp.bfloat16], "f32": [jnp.float32],
               "both": [jnp.float32, jnp.bfloat16]}[dtype_arg]
 
     rng = np.random.default_rng(SEED)
-    corpus, queries, codes, pid, pvalid = make_workload(rng)
+    corpus, queries, codes, pid, pvalid = make_workload(rng, skew)
     table = build_bucket_table(codes, N_BUCKETS)
     counts_np = np.asarray(table.counts)
     mean_bucket = N_CORPUS / N_BUCKETS
-    cap = 1 << int(np.ceil(np.log2(1.2 * mean_bucket)))
+    if skew == "high":
+        # exact reference semantics on a skewed table: cap = max bucket
+        # — the operating point where uniform-cap engines bleed padding
+        cap = 1 << int(np.ceil(np.log2(max(counts_np.max(), 2))))
+    else:
+        cap = 1 << int(np.ceil(np.log2(1.2 * mean_bucket)))
     print(f"# max bucket {counts_np.max()}, mean {mean_bucket:.0f}, "
           f"cap {cap}", file=sys.stderr, flush=True)
 
@@ -125,6 +139,7 @@ def main():
                 gb = total_rows * layout.d_pad * bpe / 1e9
                 print(json.dumps({
                     "engine": engine, "dtype": dname, "cap": int(layout.cap),
+                    "skew": skew,
                     "qps": round(N_QUERIES / dt, 1),
                     "ms": round(dt * 1e3, 1),
                     "useful_gb": round(gb, 2),
