@@ -154,6 +154,7 @@ class Indexer:
         serving_dtype=None,
         layout_mode: str = "auto",
         block_rows: int | None = None,
+        table=None,
     ):
         if engine not in self.ENGINES:
             raise ValueError(f"unknown engine {engine!r}")
@@ -170,11 +171,83 @@ class Indexer:
         # bf16 serving layout halves streamed bytes; rank flips only
         # among candidates whose distances differ below bf16 resolution
         self.serving_dtype = serving_dtype or jnp.float32
-        codes = hash_corpus(hashing, params, corpus)
-        self.table = build_bucket_table(codes, hashing.n_buckets)
+        if table is None:
+            codes = hash_corpus(hashing, params, corpus)
+            table = build_bucket_table(codes, hashing.n_buckets)
+        self.table = table
         if probe_budget is None:
             probe_budget = int(self.table.max_count())
         self.probe_budget = max(int(probe_budget), 1)
+
+    # -- persistence: skip the corpus re-hash on a serving restart ---------
+    def save(self, path: str) -> None:
+        """Persist the built bucket table + serving knobs (NOT the
+        corpus or params — the caller owns those, exactly as with the
+        reference's model-only checkpoints).  A 10M-row corpus re-hash
+        costs minutes at serving restart; the CSR table is 4 bytes/row.
+
+        The corpus is fingerprinted so :meth:`load` refuses a table
+        built over different data."""
+        import hashlib
+
+        head = np.ascontiguousarray(
+            np.asarray(self.corpus[: min(64, self.corpus.shape[0])]),
+            dtype=np.float32,
+        )
+        np.savez_compressed(
+            path,
+            row_ids=np.asarray(self.table.row_ids),
+            starts=np.asarray(self.table.starts),
+            counts=np.asarray(self.table.counts),
+            meta=np.array([
+                self.metric, str(self.probe_budget), self._engine,
+                jnp.dtype(self.serving_dtype).name,
+                str(self.block_rows), self.layout_mode,
+                str(self.corpus.shape[0]), str(self.corpus.shape[1]),
+                hashlib.sha1(head.tobytes()).hexdigest()[:16],
+            ]),
+        )
+
+    @classmethod
+    def load(cls, path: str, hashing, params, corpus: Array) -> "Indexer":
+        """Rebuild an :class:`Indexer` from :meth:`save` output without
+        re-hashing the corpus.  Raises if ``corpus`` does not match the
+        fingerprint the table was built over."""
+        import hashlib
+
+        from nlsh_tpu.index.bucket_table import BucketTable
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = [str(v) for v in z["meta"]]
+            (metric, probe_budget, engine, sdtype, block_rows,
+             layout_mode, n_rows, dim, digest) = meta
+            if (int(n_rows), int(dim)) != tuple(corpus.shape):
+                raise ValueError(
+                    f"saved index is over a {n_rows}x{dim} corpus, "
+                    f"got {tuple(corpus.shape)}"
+                )
+            head = np.ascontiguousarray(
+                np.asarray(corpus[: min(64, corpus.shape[0])]),
+                dtype=np.float32,
+            )
+            if hashlib.sha1(head.tobytes()).hexdigest()[:16] != digest:
+                raise ValueError(
+                    "saved index was built over a different corpus "
+                    "(fingerprint mismatch)"
+                )
+            table = BucketTable(
+                row_ids=jnp.asarray(z["row_ids"]),
+                starts=jnp.asarray(z["starts"]),
+                counts=jnp.asarray(z["counts"]),
+            )
+        return cls(
+            hashing, params, corpus, metric=metric,
+            probe_budget=int(probe_budget), engine=engine,
+            serving_dtype=jnp.dtype(sdtype),
+            layout_mode=layout_mode,
+            block_rows=None if block_rows == "None" else int(block_rows),
+            table=table,
+        )
 
     @property
     def engine(self) -> str:

@@ -623,6 +623,41 @@ def test_indexer_knob_mutation_rebuilds_layout():
     assert idx._layout is lay1
 
 
+def test_indexer_save_load_roundtrip(tmp_path):
+    """Index persistence: load() must skip the corpus re-hash, restore
+    every serving knob, answer identically — and refuse a different
+    corpus (serving-restart safety)."""
+    rng = np.random.default_rng(31)
+    n, d, nq, k = 500, 16, 20, 5
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
+    enc = MLPEncoder(d, (32,))
+    hashing = MultivariateBernoulli(enc, 6)
+    params = hashing.init(jax.random.PRNGKey(0))
+
+    idx = Indexer(hashing, params, corpus, engine="pallas-grouped",
+                  serving_dtype=jnp.bfloat16, probe_budget=64)
+    top, cand = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+
+    idx2 = Indexer.load(path, hashing, params, corpus)
+    assert idx2.engine == "pallas-grouped"
+    assert idx2.probe_budget == 64
+    assert jnp.dtype(idx2.serving_dtype) == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(idx2.table.row_ids), np.asarray(idx.table.row_ids))
+    top2, cand2 = idx2.query(queries, k=k, hash_times=4, probe_mode="flip")
+    np.testing.assert_array_equal(top, top2)
+    np.testing.assert_array_equal(cand, cand2)
+
+    other = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    with pytest.raises(ValueError, match="different corpus"):
+        Indexer.load(path, hashing, params, other)
+    with pytest.raises(ValueError, match="corpus"):
+        Indexer.load(path, hashing, params, corpus[: n - 1])
+
+
 def test_grouped_engine_rejects_dense_layout():
     from nlsh_tpu.index.serving import serving_query_grouped
 
