@@ -56,7 +56,8 @@ class ShardedIndexer:
     def __init__(self, hashing, params, corpus, mesh: Mesh,
                  metric: str = "cosine", probe_budget: int | None = None,
                  engine: str = "auto", serving_dtype=None,
-                 layout_mode: str = "auto", block_rows: int | None = None):
+                 layout_mode: str = "auto", block_rows: int | None = None,
+                 tables=None):
         self.block_rows = block_rows  # None = module default
         if layout_mode not in ("auto", "device", "host"):
             raise ValueError(f"unknown layout_mode {layout_mode!r}")
@@ -109,7 +110,20 @@ class ShardedIndexer:
         n_local = self.n_local
         n_real = self.n_real
 
-        if n_dev == 1:
+        if tables is not None:
+            # persistence path (:meth:`load`): per-shard CSR provided,
+            # skip the corpus hash + build entirely
+            row_ids = jnp.asarray(tables[0])
+            starts = jnp.asarray(tables[1])
+            counts = jnp.asarray(tables[2])
+            if n_dev > 1:
+                row_ids = jax.device_put(
+                    row_ids, NamedSharding(mesh, P(axis)))
+                starts = jax.device_put(
+                    starts, NamedSharding(mesh, P(axis, None)))
+                counts = jax.device_put(
+                    counts, NamedSharding(mesh, P(axis, None)))
+        elif n_dev == 1:
             # degenerate mesh: shard_map adds nothing but compile cost —
             # the remote compile helper takes minutes on the monolithic
             # shard_map build at multi-million rows, while the chunked
@@ -188,6 +202,70 @@ class ShardedIndexer:
         self._engine = value
         if old is not None and value != old:
             self._layouts = None
+
+    # -- persistence: skip the 10M-row re-hash on a serving restart --------
+    def save(self, path: str) -> None:
+        """Persist the per-shard CSR tables + serving knobs (NOT the
+        corpus/params).  At 10M rows the hash + CSR build is minutes of
+        restart time for state deterministic in (params, corpus)."""
+        import hashlib
+
+        src = self._corpus_host if self._corpus_host is not None \
+            else self.corpus
+        head = np.ascontiguousarray(
+            np.asarray(src[: min(64, self.n_real)]), dtype=np.float32)
+        np.savez_compressed(
+            path,
+            row_ids=np.asarray(self.row_ids),
+            starts=np.asarray(self.starts),
+            counts=np.asarray(self.counts),
+            meta=np.array([
+                self.metric, str(self.probe_budget), self._engine,
+                jnp.dtype(self.serving_dtype).name,
+                str(self.block_rows), self.layout_mode,
+                str(int(self.mesh.devices.size)), str(self.n_real),
+                hashlib.sha1(head.tobytes()).hexdigest()[:16],
+            ]),
+        )
+
+    @classmethod
+    def load(cls, path: str, hashing, params, corpus, mesh: Mesh
+             ) -> "ShardedIndexer":
+        """Rebuild from :meth:`save` output without re-hashing.  The
+        mesh must have the shard count the tables were built for, and
+        the corpus must match the saved fingerprint."""
+        import hashlib
+
+        with np.load(path, allow_pickle=False) as z:
+            (metric, probe_budget, engine, sdtype, block_rows,
+             layout_mode, n_dev, n_real, digest) = [str(v) for v in z["meta"]]
+            if int(n_dev) != int(mesh.devices.size):
+                raise ValueError(
+                    f"saved tables are sharded {n_dev}-way, mesh has "
+                    f"{mesh.devices.size} device(s)"
+                )
+            if int(n_real) != corpus.shape[0]:
+                raise ValueError(
+                    f"saved index is over {n_real} corpus rows, got "
+                    f"{corpus.shape[0]}"
+                )
+            head = np.ascontiguousarray(
+                np.asarray(corpus[: min(64, corpus.shape[0])]),
+                dtype=np.float32)
+            if hashlib.sha1(head.tobytes()).hexdigest()[:16] != digest:
+                raise ValueError(
+                    "saved index was built over a different corpus "
+                    "(fingerprint mismatch)"
+                )
+            tables = (z["row_ids"], z["starts"], z["counts"])
+            return cls(
+                hashing, params, corpus, mesh, metric=metric,
+                probe_budget=int(probe_budget), engine=engine,
+                serving_dtype=jnp.dtype(sdtype),
+                layout_mode=layout_mode,
+                block_rows=None if block_rows == "None" else int(block_rows),
+                tables=tables,
+            )
 
     # -- observability ----------------------------------------------------
     def n_buckets_used(self) -> int:

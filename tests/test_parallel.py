@@ -386,6 +386,39 @@ def test_sharded_engine_switch_rebuilds_layouts(data):
         si.engine = "nope"
 
 
+def test_sharded_save_load_roundtrip(data, tmp_path):
+    """ShardedIndexer persistence: load() must skip the per-shard
+    build, restore knobs, answer identically — and refuse a wrong mesh
+    size or different corpus."""
+    hashing = _hashing()
+    params = hashing.init(jax.random.PRNGKey(0))
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    key = jax.random.PRNGKey(7)
+
+    mesh = make_mesh(2, axis="shard")
+    si = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
+                        engine="pallas-grouped")
+    top, cand = si.query(queries, k=5, hash_times=4, key=key)
+    path = str(tmp_path / "sharded.npz")
+    si.save(path)
+
+    si2 = ShardedIndexer.load(path, hashing, params, corpus, mesh)
+    assert si2.engine == "pallas-grouped"
+    top2, cand2 = si2.query(queries, k=5, hash_times=4, key=key)
+    np.testing.assert_array_equal(np.asarray(top), np.asarray(top2))
+    np.testing.assert_array_equal(np.asarray(cand), np.asarray(cand2))
+
+    with pytest.raises(ValueError, match="sharded 2-way"):
+        ShardedIndexer.load(path, hashing, params, corpus,
+                            make_mesh(4, axis="shard"))
+    rng = np.random.default_rng(5)
+    other = jnp.asarray(
+        rng.normal(size=corpus.shape).astype(np.float32))
+    with pytest.raises(ValueError, match="different corpus"):
+        ShardedIndexer.load(path, hashing, params, other, mesh)
+
+
 def test_multitable_windowed_sync_bound_matches_xla(data, monkeypatch):
     """The windowed exact-group-bound host sync (opt-in via
     NLSH_MT_SYNC_BOUND_WINDOWED) must not change windowed-engine
