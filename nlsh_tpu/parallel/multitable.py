@@ -176,7 +176,7 @@ class MultiTableIndexer:
     def __init__(self, hashing, stacked_params, corpus, metric="cosine",
                  probe_budget: int | None = None, mesh: Mesh | None = None,
                  engine: str = "auto", serving_dtype=None,
-                 block_rows: int | None = None):
+                 block_rows: int | None = None, tables=None):
         self.block_rows = block_rows  # None = module default
         self.hashing = hashing
         self.params = stacked_params
@@ -197,14 +197,22 @@ class MultiTableIndexer:
                     f"{mesh.devices.size}"
                 )
 
-        # (L, n) hard codes -> L CSR tables, stacked
-        codes = jax.vmap(lambda p: hash_corpus(hashing, p, self.corpus))(
-            stacked_params
-        )
-        tables = jax.vmap(lambda c: build_bucket_table(c, hashing.n_buckets))(codes)
-        self.row_ids, self.starts, self.counts = (
-            tables.row_ids, tables.starts, tables.counts,
-        )  # (L, n), (L, nb), (L, nb)
+        if tables is not None:
+            # persistence path (:meth:`load`): stacked CSR provided
+            self.row_ids = jnp.asarray(tables[0])
+            self.starts = jnp.asarray(tables[1])
+            self.counts = jnp.asarray(tables[2])
+        else:
+            # (L, n) hard codes -> L CSR tables, stacked
+            codes = jax.vmap(
+                lambda p: hash_corpus(hashing, p, self.corpus)
+            )(stacked_params)
+            t = jax.vmap(
+                lambda c: build_bucket_table(c, hashing.n_buckets)
+            )(codes)
+            self.row_ids, self.starts, self.counts = (
+                t.row_ids, t.starts, t.counts,
+            )  # (L, n), (L, nb), (L, nb)
         if mesh is not None:
             spec = NamedSharding(mesh, P(self.axis, None))
             self.row_ids = jax.device_put(self.row_ids, spec)
@@ -248,6 +256,67 @@ class MultiTableIndexer:
         if old is not None and value != old:
             self._stacked = None
             self._g_cal = None
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Persist the L stacked CSR tables + serving knobs (NOT the
+        corpus or stacked params — the caller owns those).  Restarting
+        an L=8 ensemble re-hashes the corpus 8 times otherwise."""
+        import hashlib
+
+        head = np.ascontiguousarray(
+            np.asarray(self.corpus[: min(64, self.corpus.shape[0])]),
+            dtype=np.float32)
+        np.savez_compressed(
+            path,
+            row_ids=np.asarray(self.row_ids),
+            starts=np.asarray(self.starts),
+            counts=np.asarray(self.counts),
+            meta=np.array([
+                self.metric, str(self.probe_budget), self._engine,
+                jnp.dtype(self.serving_dtype).name,
+                str(self.block_rows), str(self.n_tables),
+                str(self.corpus.shape[0]),
+                hashlib.sha1(head.tobytes()).hexdigest()[:16],
+            ]),
+        )
+
+    @classmethod
+    def load(cls, path: str, hashing, stacked_params, corpus,
+             mesh: Mesh | None = None) -> "MultiTableIndexer":
+        """Rebuild from :meth:`save` output without re-hashing; refuses
+        a different corpus, table count, or incompatible mesh."""
+        import hashlib
+
+        with np.load(path, allow_pickle=False) as z:
+            (metric, probe_budget, engine, sdtype, block_rows,
+             n_tables, n_rows, digest) = [str(v) for v in z["meta"]]
+            L = jax.tree.leaves(stacked_params)[0].shape[0]
+            if int(n_tables) != L:
+                raise ValueError(
+                    f"saved ensemble has {n_tables} tables, params have {L}"
+                )
+            if int(n_rows) != corpus.shape[0]:
+                raise ValueError(
+                    f"saved index is over {n_rows} corpus rows, got "
+                    f"{corpus.shape[0]}"
+                )
+            head = np.ascontiguousarray(
+                np.asarray(corpus[: min(64, corpus.shape[0])]),
+                dtype=np.float32)
+            if hashlib.sha1(head.tobytes()).hexdigest()[:16] != digest:
+                raise ValueError(
+                    "saved index was built over a different corpus "
+                    "(fingerprint mismatch)"
+                )
+            tables = (z["row_ids"], z["starts"], z["counts"])
+            return cls(
+                hashing, stacked_params, corpus, metric=metric,
+                probe_budget=int(probe_budget), mesh=mesh, engine=engine,
+                serving_dtype=jnp.dtype(sdtype),
+                block_rows=None if block_rows == "None" else int(block_rows),
+                tables=tables,
+            )
 
     # -- core rerank over the union of all tables' candidates ---------------
 

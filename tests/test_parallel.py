@@ -386,6 +386,42 @@ def test_sharded_engine_switch_rebuilds_layouts(data):
         si.engine = "nope"
 
 
+def test_multitable_save_load_roundtrip(data, tmp_path):
+    """MultiTableIndexer persistence: identical answers after load,
+    wrong-params/corpus refused."""
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    stacked = init_multi_table(hashing, 4, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+
+    mi = MultiTableIndexer(hashing, stacked, corpus,
+                           engine="pallas-windowed")
+    top, cand = mi.query(queries, k=5, hash_times=2, key=key)
+    path = str(tmp_path / "mt.npz")
+    mi.save(path)
+
+    mi2 = MultiTableIndexer.load(path, hashing, stacked, corpus)
+    assert mi2.engine == "pallas-windowed"
+    top2, cand2 = mi2.query(queries, k=5, hash_times=2, key=key)
+    np.testing.assert_array_equal(np.asarray(top), np.asarray(top2))
+    np.testing.assert_array_equal(np.asarray(cand), np.asarray(cand2))
+
+    # table-sharded load onto a mesh still matches
+    mesh = make_mesh(4, axis="table")
+    mi3 = MultiTableIndexer.load(path, hashing, stacked, corpus, mesh=mesh)
+    top3, _ = mi3.query(queries, k=5, hash_times=2, key=key)
+    np.testing.assert_array_equal(np.asarray(top), np.asarray(top3))
+
+    with pytest.raises(ValueError, match="tables"):
+        MultiTableIndexer.load(
+            path, hashing, init_multi_table(hashing, 2, key), corpus)
+    rng = np.random.default_rng(6)
+    other = jnp.asarray(rng.normal(size=corpus.shape).astype(np.float32))
+    with pytest.raises(ValueError, match="different corpus"):
+        MultiTableIndexer.load(path, hashing, stacked, other)
+
+
 def test_sharded_save_load_roundtrip(data, tmp_path):
     """ShardedIndexer persistence: load() must skip the per-shard
     build, restore knobs, answer identically — and refuse a wrong mesh
