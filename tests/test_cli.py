@@ -132,6 +132,55 @@ def test_eval_cli_end_to_end(tmp_path, monkeypatch, capsys):
     assert len(printed) == 4  # (avg_n_candidates, recall) per probe count
 
 
+def test_serve_cli_build_save_load(tmp_path, capsys):
+    """serve CLI: build+persist on the first run, load on the second,
+    identical answers both times."""
+    from nlsh_tpu.cli.serve import main as serve_main
+    from nlsh_tpu.utils.checkpoint import save_model
+
+    hashing = MultivariateBernoulli(MLPEncoder(32, (16,)), 4)
+    params = hashing.init(jax.random.PRNGKey(0))
+    base = str(tmp_path / "model_0.7")
+    save_model(base, hashing, params)
+
+    idx_path = str(tmp_path / "index.npz")
+    out1 = str(tmp_path / "out1.npz")
+    r1 = serve_main([
+        "--model_path", base, "--data_id", "synthetic", "-k", "5",
+        "--index_path", idx_path, "--output", out1, "--batch", "64",
+    ])
+    assert r1["n_queries"] > 0 and "recall_at_k" in r1
+    import os
+    assert os.path.exists(idx_path)
+
+    out2 = str(tmp_path / "out2.npz")
+    r2 = serve_main([
+        "--model_path", base, "--data_id", "synthetic", "-k", "5",
+        "--index_path", idx_path, "--output", out2, "--batch", "64",
+    ])
+    with np.load(out1) as a, np.load(out2) as b:
+        np.testing.assert_array_equal(a["topk_ids"], b["topk_ids"])
+        np.testing.assert_array_equal(a["n_candidates"], b["n_candidates"])
+
+
+def test_serve_cli_multitable_artifact(tmp_path):
+    """A stacked (n_tables) artifact routes to MultiTableIndexer."""
+    from nlsh_tpu.cli.serve import main as serve_main
+    from nlsh_tpu.parallel.multitable import init_multi_table
+    from nlsh_tpu.utils.checkpoint import save_model
+
+    hashing = MultivariateBernoulli(MLPEncoder(32, (16,)), 4)
+    stacked = init_multi_table(hashing, 2, jax.random.PRNGKey(0))
+    base = str(tmp_path / "mt_model")
+    save_model(base, hashing, stacked, n_tables=2)
+
+    r = serve_main([
+        "--model_path", base, "--data_id", "synthetic", "-k", "5",
+        "--hash_times", "2",
+    ])
+    assert r["n_queries"] > 0 and r["recall_at_k"] >= 0
+
+
 def test_precompute_writes_processed(tmp_path):
     rng = np.random.default_rng(0)
     train = rng.normal(size=(256, 8)).astype(np.float32)
