@@ -88,6 +88,38 @@ def _fused_serve(hashing, params, layout, full_counts, queries, key,
     return jnp.concatenate([ids, n_cand[:, None]], axis=1)
 
 
+@partial(jax.jit, static_argnames=("k", "metric"))
+def _merge_fresh(corpus, fresh, queries, base_ids, n_cand,
+                 k: int, metric: str):
+    """Merge the table's top-k with an exact scan of the fresh-row
+    buffer: gather the base winners' vectors, score them and every
+    buffered row at HIGHEST precision, take the combined top-k.
+    Buffered rows get ids ``n0 + i``; padded base slots (id ``-1``)
+    rank last.  Cheap while the buffer is small (k + m candidates per
+    query), exact always."""
+    from nlsh_tpu.ops.distances import METRICS
+
+    pairwise = METRICS[metric]["pairwise"]
+    n0 = corpus.shape[0]
+    nq = queries.shape[0]
+    m = fresh.shape[0]
+    safe = jnp.clip(base_ids, 0, n0 - 1)
+    base_vecs = corpus[safe]  # (nq, k, d)
+    d_base = jax.vmap(lambda q, c: pairwise(q[None], c)[0])(
+        queries, base_vecs
+    )  # (nq, k)
+    d_base = jnp.where(base_ids >= 0, d_base, jnp.inf)
+    d_fresh = pairwise(queries, fresh)  # (nq, m)
+    all_d = jnp.concatenate([d_base, d_fresh], axis=1)
+    fresh_ids = jnp.broadcast_to(
+        n0 + jnp.arange(m, dtype=jnp.int32), (nq, m))
+    all_ids = jnp.concatenate([base_ids, fresh_ids], axis=1)
+    neg_top, arg = jax.lax.top_k(-all_d, k)
+    top = jnp.take_along_axis(all_ids, arg, axis=1)
+    top = jnp.where(jnp.isfinite(neg_top), top, -1).astype(jnp.int32)
+    return top, n_cand + m
+
+
 @partial(jax.jit, static_argnames=("hashing", "k", "hash_times",
                                    "probe_mode", "grouped", "repeats"))
 def _fused_serve_batched(hashing, params, layout, full_counts, queries, key,
@@ -175,9 +207,52 @@ class Indexer:
             codes = hash_corpus(hashing, params, corpus)
             table = build_bucket_table(codes, hashing.n_buckets)
         self.table = table
+        self._fresh = None  # incremental-insert buffer (see :meth:`add`)
+        self._budget_user = probe_budget is not None
         if probe_budget is None:
             probe_budget = int(self.table.max_count())
         self.probe_budget = max(int(probe_budget), 1)
+
+    # -- incremental inserts ------------------------------------------------
+    def add(self, rows: Array) -> None:
+        """Insert new corpus rows WITHOUT rebuilding the table: they go
+        to a fresh-row buffer that every query scans exactly and merges
+        with the table's top-k (the standard fresh-segment design —
+        recall over new rows is 1.0 by construction).  New rows get ids
+        ``n0 + i`` in insertion order.  The scan is O(buffer) per query
+        batch: call :meth:`compact` to fold a grown buffer into the CSR
+        table + serving layout."""
+        from nlsh_tpu.ops.distances import METRICS
+
+        if self.metric not in METRICS:
+            raise ValueError(
+                f"incremental inserts need a registered metric, "
+                f"got {self.metric!r}"
+            )
+        rows = jnp.asarray(rows)
+        self._fresh = rows if self._fresh is None else jnp.concatenate(
+            [self._fresh, rows])
+
+    @property
+    def n_fresh(self) -> int:
+        return 0 if self._fresh is None else int(self._fresh.shape[0])
+
+    def compact(self) -> None:
+        """Fold the fresh-row buffer into the corpus: re-hash, rebuild
+        the CSR table, drop cached layouts.  Ids are stable (buffered
+        rows already answered as ``n0 + i``)."""
+        if self._fresh is None:
+            return
+        corpus = jnp.concatenate(
+            [jnp.asarray(self.corpus), self._fresh])
+        self.corpus = corpus
+        self._fresh = None
+        self._layout = None
+        codes = hash_corpus(self.hashing, self.params, corpus)
+        self.table = build_bucket_table(codes, self.hashing.n_buckets)
+        # a user-set budget persists; the default tracks the new table
+        if not self._budget_user:
+            self.probe_budget = max(int(self.table.max_count()), 1)
 
     # -- persistence: skip the corpus re-hash on a serving restart ---------
     def save(self, path: str) -> None:
@@ -190,6 +265,11 @@ class Indexer:
         built over different data."""
         import hashlib
 
+        if self._fresh is not None:
+            raise ValueError(
+                "fresh-row buffer is non-empty: compact() before save() "
+                "so the persisted table covers every inserted row"
+            )
         head = np.ascontiguousarray(
             np.asarray(self.corpus[: min(64, self.corpus.shape[0])]),
             dtype=np.float32,
@@ -338,15 +418,15 @@ class Indexer:
                 self.layout, queries, probe_ids, probe_valid,
                 self.table.counts, k=k,
             )
-            return ids, n_cand
+            return self._with_fresh((ids, n_cand), queries, k)
         if engine != "xla" and serving_metric:
             serve = {"pallas-grouped": "grouped", "pallas": "fixed",
                      "pallas-windowed": "windowed"}[engine]
-            return _fused_serve(
+            return self._with_fresh(_fused_serve(
                 self.hashing, self.params, self.layout, self.table.counts,
                 queries, key, k=k, hash_times=hash_times,
                 probe_mode=probe_mode, grouped=serve,
-            )
+            ), queries, k)
         probe_ids, probe_valid = self.hashing.hash(
             self.params, queries, n_probes=hash_times, key=key,
             probe_mode=probe_mode,
@@ -366,7 +446,24 @@ class Indexer:
             metric=self.metric,
             query_chunk=query_chunk,
         )
-        return topk_ids, n_cand
+        return self._with_fresh((topk_ids, n_cand), queries, k)
+
+    def _with_fresh(self, result, queries, k: int):
+        """Merge a query result with the fresh-row buffer (no-op when
+        empty).  Preserves the result's packed/tuple convention so
+        :meth:`fetch` is unchanged."""
+        if self._fresh is None:
+            return result
+        corpus = jnp.asarray(self.corpus)
+        queries = jnp.asarray(queries)
+        if isinstance(result, tuple):
+            ids, n_cand = result
+            return _merge_fresh(corpus, self._fresh, queries,
+                                ids, n_cand, k=k, metric=self.metric)
+        top, nc = _merge_fresh(corpus, self._fresh, queries,
+                               result[:, :-1], result[:, -1],
+                               k=k, metric=self.metric)
+        return jnp.concatenate([top, nc[:, None]], axis=1)
 
     @staticmethod
     def fetch(result) -> tuple[np.ndarray, np.ndarray]:

@@ -658,6 +658,40 @@ def test_indexer_save_load_roundtrip(tmp_path):
         Indexer.load(path, hashing, params, corpus[: n - 1])
 
 
+@pytest.mark.parametrize("engine", ["xla", "pallas-grouped"])
+def test_indexer_incremental_add_compact(engine):
+    """add(): fresh rows answer immediately (exact over the buffer,
+    recall 1.0 on them by construction) and n_candidates grows by the
+    buffer size; compact() folds them into the table and the merged
+    answers survive."""
+    rng = np.random.default_rng(37)
+    n, d, nq, k = 400, 16, 16, 5
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    enc = MLPEncoder(d, (32,))
+    hashing = MultivariateBernoulli(enc, 6)
+    params = hashing.init(jax.random.PRNGKey(0))
+
+    idx = Indexer(hashing, params, corpus, engine=engine)
+    fresh = jnp.asarray(rng.normal(size=(8, d)).astype(np.float32))
+    # query AT the fresh rows: after add() each must be its own top-1
+    queries = fresh[:nq] if nq <= 8 else fresh
+    queries = fresh
+
+    base_top, base_cand = idx.query(queries, k=k, hash_times=4,
+                                    probe_mode="flip")
+    idx.add(fresh)
+    assert idx.n_fresh == 8
+    top, cand = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    np.testing.assert_array_equal(cand, np.asarray(base_cand) + 8)
+    np.testing.assert_array_equal(top[:, 0], n + np.arange(8))
+
+    idx.compact()
+    assert idx.n_fresh == 0 and idx.corpus.shape[0] == n + 8
+    top2, _ = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    # self-retrieval survives compaction (now served from the table)
+    np.testing.assert_array_equal(top2[:, 0], n + np.arange(8))
+
+
 def test_grouped_engine_rejects_dense_layout():
     from nlsh_tpu.index.serving import serving_query_grouped
 
