@@ -120,6 +120,23 @@ def _merge_fresh(corpus, fresh, queries, base_ids, n_cand,
     return top, n_cand + m
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _drop_deleted(ids, deleted_sorted, k: int):
+    """Filter tombstoned ids out of an over-fetched top-``k_eff`` list,
+    keeping score order (rows are already sorted by score, so a stable
+    partition by deleted-ness preserves ranking).  Returns the first
+    ``k`` survivors, ``-1``-padded."""
+    pos = jnp.clip(
+        jnp.searchsorted(deleted_sorted, ids),
+        0, deleted_sorted.shape[0] - 1,
+    )
+    dead = (deleted_sorted[pos] == ids) | (ids < 0)
+    order = jnp.argsort(dead, axis=1, stable=True)
+    top = jnp.take_along_axis(ids, order[:, :k], axis=1)
+    keep = ~jnp.take_along_axis(dead, order[:, :k], axis=1)
+    return jnp.where(keep, top, -1)
+
+
 @partial(jax.jit, static_argnames=("hashing", "k", "hash_times",
                                    "probe_mode", "grouped", "repeats"))
 def _fused_serve_batched(hashing, params, layout, full_counts, queries, key,
@@ -208,6 +225,7 @@ class Indexer:
             table = build_bucket_table(codes, hashing.n_buckets)
         self.table = table
         self._fresh = None  # incremental-insert buffer (see :meth:`add`)
+        self._deleted = None  # tombstoned ids (see :meth:`remove`)
         self._budget_user = probe_budget is not None
         if probe_budget is None:
             probe_budget = int(self.table.max_count())
@@ -237,18 +255,45 @@ class Indexer:
     def n_fresh(self) -> int:
         return 0 if self._fresh is None else int(self._fresh.shape[0])
 
+    def remove(self, ids) -> None:
+        """Tombstone corpus rows (incl. fresh-buffer rows): queries
+        over-fetch ``k + next_pow2(#deleted)`` from the engine and drop
+        tombstones on device, so ranking stays exact without a rebuild.
+        :meth:`compact` rebuilds the table without them (ids stay
+        stable; the corpus slots are not reclaimed)."""
+        ids = np.atleast_1d(np.asarray(ids, np.int32))
+        hi = self.corpus.shape[0] + self.n_fresh
+        if ids.size and (ids.min() < 0 or ids.max() >= hi):
+            raise ValueError(f"ids out of range [0, {hi})")
+        base = self._deleted if self._deleted is not None else \
+            np.empty((0,), np.int32)
+        self._deleted = np.unique(np.concatenate([base, ids]))
+
+    @property
+    def n_deleted(self) -> int:
+        return 0 if self._deleted is None else int(self._deleted.shape[0])
+
     def compact(self) -> None:
-        """Fold the fresh-row buffer into the corpus: re-hash, rebuild
-        the CSR table, drop cached layouts.  Ids are stable (buffered
-        rows already answered as ``n0 + i``)."""
-        if self._fresh is None:
+        """Fold the fresh-row buffer into the corpus and rebuild the
+        CSR table WITHOUT tombstoned rows (they hash to an out-of-range
+        sentinel the scatter drops, so no bucket ever lists them).  Ids
+        are stable: buffered rows already answered as ``n0 + i``, and
+        deleted slots stay allocated (memory is reclaimed only by
+        rebuilding the Indexer from a filtered corpus)."""
+        if self._fresh is None and self._deleted is None:
             return
-        corpus = jnp.concatenate(
-            [jnp.asarray(self.corpus), self._fresh])
+        corpus = jnp.asarray(self.corpus)
+        if self._fresh is not None:
+            corpus = jnp.concatenate([corpus, self._fresh])
         self.corpus = corpus
         self._fresh = None
         self._layout = None
         codes = hash_corpus(self.hashing, self.params, corpus)
+        if self._deleted is not None:
+            codes = jnp.asarray(codes).at[jnp.asarray(self._deleted)].set(
+                self.hashing.n_buckets  # sentinel: dropped by the build
+            )
+            self._deleted = None
         self.table = build_bucket_table(codes, self.hashing.n_buckets)
         # a user-set budget persists; the default tracks the new table
         if not self._budget_user:
@@ -265,10 +310,10 @@ class Indexer:
         built over different data."""
         import hashlib
 
-        if self._fresh is not None:
+        if self._fresh is not None or self._deleted is not None:
             raise ValueError(
-                "fresh-row buffer is non-empty: compact() before save() "
-                "so the persisted table covers every inserted row"
+                "pending inserts/deletes: compact() before save() so the "
+                "persisted table reflects every update"
             )
         head = np.ascontiguousarray(
             np.asarray(self.corpus[: min(64, self.corpus.shape[0])]),
@@ -394,7 +439,35 @@ class Indexer:
         """Dispatch a multi-probe query WITHOUT fetching the result to
         host: returns device array(s) to pass to :meth:`fetch`.  Lets a
         serving loop pipeline batches — the next dispatch overlaps the
-        previous batch's device execution and transfer."""
+        previous batch's device execution and transfer.
+
+        With tombstones pending (:meth:`remove`), the engine over-
+        fetches ``k + next_pow2(#deleted)`` and drops tombstones on
+        device — ranking stays exact; ``n_candidates`` still counts
+        tombstoned candidates until :meth:`compact`."""
+        m = self.n_deleted
+        if m == 0:
+            return self._query_async_raw(queries, k, hash_times, key,
+                                         query_chunk, probe_mode)
+        k_eff = k + (1 << (m - 1).bit_length())  # pow2: bounded recompiles
+        res = self._query_async_raw(queries, k_eff, hash_times, key,
+                                    query_chunk, probe_mode)
+        dead = jnp.asarray(self._deleted)
+        if isinstance(res, tuple):
+            ids, n_cand = res
+            return _drop_deleted(ids, dead, k=k), n_cand
+        top = _drop_deleted(res[:, :-1], dead, k=k)
+        return jnp.concatenate([top, res[:, -1:]], axis=1)
+
+    def _query_async_raw(
+        self,
+        queries: Array,
+        k: int = 10,
+        hash_times: int = 10,
+        key: Array | None = None,
+        query_chunk: int | None = None,
+        probe_mode: str = "sample",
+    ):
         if key is None:
             key = jax.random.PRNGKey(0)
         engine = self.engine

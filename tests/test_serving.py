@@ -692,6 +692,41 @@ def test_indexer_incremental_add_compact(engine):
     np.testing.assert_array_equal(top2[:, 0], n + np.arange(8))
 
 
+@pytest.mark.parametrize("engine", ["xla", "pallas-grouped"])
+def test_indexer_remove_and_compact(engine):
+    """remove(): tombstoned rows vanish from answers immediately (exact
+    over-fetch + on-device filter) and stay gone after compact();
+    surviving ranking matches an indexer built without them."""
+    rng = np.random.default_rng(41)
+    n, d, k = 400, 16, 5
+    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    enc = MLPEncoder(d, (32,))
+    hashing = MultivariateBernoulli(enc, 6)
+    params = hashing.init(jax.random.PRNGKey(0))
+
+    idx = Indexer(hashing, params, corpus, engine=engine)
+    # query AT corpus rows so each row is its own exact top-1
+    queries = corpus[:12]
+    top0, _ = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    victims = np.asarray(top0[:, 0])[:6]  # delete 6 queried rows' top-1
+
+    idx.remove(victims)
+    assert idx.n_deleted == len(set(victims.tolist()))
+    top1, _ = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    assert not np.isin(np.asarray(top1), victims).any()
+
+    idx.compact()
+    assert idx.n_deleted == 0
+    top2, _ = idx.query(queries, k=k, hash_times=4, probe_mode="flip")
+    assert not np.isin(np.asarray(top2), victims).any()
+    # post-compact answers match the pre-compact filtered answers
+    agree = (np.asarray(top1) == np.asarray(top2)).mean()
+    assert agree > 0.9
+
+    with pytest.raises(ValueError, match="out of range"):
+        idx.remove([n + 100])
+
+
 def test_grouped_engine_rejects_dense_layout():
     from nlsh_tpu.index.serving import serving_query_grouped
 
