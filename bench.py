@@ -66,6 +66,12 @@ PARITY_DEADLINE_S = float(os.environ.get("NLSH_BENCH_PARITY_DEADLINE", 420))
 SWEEP_DEADLINE_S = float(os.environ.get("NLSH_BENCH_SWEEP_DEADLINE", 300))
 
 CACHE_DIR = os.environ.get("NLSH_BENCH_CACHE_DIR", "/tmp/nlsh_bench_cache")
+# /tmp does not survive machine resets (observed round 3): small
+# deterministic artifacts (the trained params) also ship committed in
+# the repo as a read-only fallback, so a cold-start driver run never
+# pays the ~520 s retrain that blew the round-2 budget
+REPO_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "artifacts", "bench_cache")
 
 
 def _workload_key() -> str:
@@ -141,13 +147,15 @@ def _load_or_compute_gt(corpus_np, queries_np, sub_idx):
     from nlsh_tpu.ops.knn import knn, self_knn
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"gt_{_workload_key()}.npz")
+    fname = f"gt_{_workload_key()}.npz"
+    path = os.path.join(CACHE_DIR, fname)
     meta = np.array([SEED, N_CORPUS, DIM, N_QUERIES, K, TRAIN_SUBSET],
                     np.int64)
-    if os.path.exists(path):
-        z = np.load(path)
-        if "meta" in z and np.array_equal(z["meta"], meta):
-            return z["gt"], z["sub_knn"], 0.0, 0.0
+    for cand in (path, os.path.join(REPO_CACHE_DIR, fname)):
+        if os.path.exists(cand):
+            z = np.load(cand)
+            if "meta" in z and np.array_equal(z["meta"], meta):
+                return z["gt"], z["sub_knn"], 0.0, 0.0
     # (the round-2 legacy-cache migration is gone: v2 keys mean
     # "ranked at matmul precision highest", which the legacy bf16
     # cache is not — migrating it would silently defeat the version
@@ -178,12 +186,14 @@ def _load_or_train_params(hashing, data):
     import jax
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"params_{_train_key()}.msgpack")
+    fname = f"params_{_train_key()}.msgpack"
+    path = os.path.join(CACHE_DIR, fname)
     like = hashing.init(jax.random.PRNGKey(0))
-    if os.path.exists(path):
-        with open(path, "rb") as f:
-            params = serialization.from_bytes(like, f.read())
-        return params, 0.0
+    for cand in (path, os.path.join(REPO_CACHE_DIR, fname)):
+        if os.path.exists(cand):
+            with open(cand, "rb") as f:
+                params = serialization.from_bytes(like, f.read())
+            return params, 0.0
 
     from nlsh_tpu.train import TripletTrainer
 

@@ -65,16 +65,19 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
     from nlsh_tpu.train import MultiTableTrainer, TripletTrainer
 
     path = None
+    repo_path = None
     margin, positive_k = 0.5, 20
     if cache_tag:
         cache_dir = os.environ.get("NLSH_BENCH_CACHE_DIR",
                                    "/tmp/nlsh_bench_cache")
         os.makedirs(cache_dir, exist_ok=True)
-        path = os.path.join(
-            cache_dir,
-            f"cfgparams_{cache_tag}_s{steps}_b{batch_size}"
-            f"_t{n_tables or 1}_v2.msgpack",
-        )
+        fname = (f"cfgparams_{cache_tag}_s{steps}_b{batch_size}"
+                 f"_t{n_tables or 1}_v2.msgpack")
+        path = os.path.join(cache_dir, fname)
+        # committed read-only fallback (bench.py pattern): /tmp does not
+        # survive machine resets, the repo does
+        repo_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "artifacts", "bench_cache", fname)
     # self-verifying meta (the bench.py cache pattern): every training
     # hyper-parameter plus a data fingerprint rides a sidecar json —
     # a tag collision or a tuned hparam that kept the param SHAPES
@@ -95,24 +98,26 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
                         margin=margin, positive_k=positive_k)
     if n_tables:
         tr = MultiTableTrainer(tr, n_tables)
-    if path and os.path.exists(path):
+    for cand in (path, repo_path):
+        if not (cand and os.path.exists(cand)):
+            continue
         import jax
 
         from flax import serialization
 
         stored = None
-        if os.path.exists(path + ".meta.json"):
-            with open(path + ".meta.json") as f:
+        if os.path.exists(cand + ".meta.json"):
+            with open(cand + ".meta.json") as f:
                 stored = json.load(f)
         if stored == meta:
             key = jax.random.PRNGKey(0)
             like = {"hashing": tr.init_hashing_params(key),
                     "extra": tr.init_extra(key)}
-            with open(path, "rb") as f:
+            with open(cand, "rb") as f:
                 params = serialization.from_bytes(like, f.read())
             state = types.SimpleNamespace(params=params)
             return state, 0.0
-        _log(f"param cache meta mismatch for {path}: retraining")
+        _log(f"param cache meta mismatch for {cand}: retraining")
     t0 = time.perf_counter()
     state = tr.fit(K=10, batch_size=batch_size, learning_rate=lr,
                    epochs=1000, test_every_updates=10**9, max_steps=steps,
@@ -464,6 +469,7 @@ def config_5(n_corpus=None):
         queries, gt,
     )
     return {"config": "5_deepimage96_10M_sharded",
+            "n_corpus": int(n_corpus), "engine": engine,
             "n_shards": int(mesh.devices.size),
             "build_s": round(build_s, 2), **m}
 
