@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -306,7 +307,7 @@ def _wait_for_backend(deadline_s: float) -> None:
         if r.returncode == 0:
             if attempt > 1:
                 print(f"backend up after {time.perf_counter() - t0:.0f}s "
-                      f"({attempt} probes)", flush=True)
+                      f"({attempt} probes)", file=sys.stderr, flush=True)
             return
         waited = time.perf_counter() - t0
         if waited > deadline_s:
@@ -314,7 +315,8 @@ def _wait_for_backend(deadline_s: float) -> None:
                 f"TPU backend unavailable for {waited:.0f}s "
                 f"(last stderr: {r.stderr.decode()[-300:]!r})"
             )
-        print(f"backend down ({waited:.0f}s), retrying", flush=True)
+        print(f"backend down ({waited:.0f}s), retrying",
+              file=sys.stderr, flush=True)
         time.sleep(15)
 
 
@@ -383,7 +385,8 @@ def main():
                            ("pallas", jnp.float32)):
         if sweep and time.perf_counter() - t_start > SWEEP_DEADLINE_S:
             print(f"sweep truncated after {len(sweep)} entries "
-                  f"(deadline {SWEEP_DEADLINE_S:.0f}s)", flush=True)
+                  f"(deadline {SWEEP_DEADLINE_S:.0f}s)",
+                  file=sys.stderr, flush=True)
             break
         try:
             indexer.engine = engine
@@ -431,7 +434,7 @@ def main():
                 "query_size": float(np.mean(n_cand)),
             })
         except Exception as e:  # never lose the bench line to one engine
-            print(f"{engine} skipped: {e!r}", flush=True)
+            print(f"{engine} skipped: {e!r}", file=sys.stderr, flush=True)
 
     if not sweep:
         # both Pallas engines failed: fall back to the XLA gather path
@@ -463,11 +466,12 @@ def main():
                 corpus_np, queries_np, hashing, params
             )
         except Exception as e:
-            print(f"parity smoke failed: {e!r}", flush=True)
+            print(f"parity smoke failed: {e!r}", file=sys.stderr, flush=True)
             parity_ok = False
     else:
         print(f"parity smoke skipped: {elapsed:.0f}s elapsed "
-              f"(deadline {PARITY_DEADLINE_S:.0f}s)", flush=True)
+              f"(deadline {PARITY_DEADLINE_S:.0f}s)",
+              file=sys.stderr, flush=True)
 
     result = {
         "metric": "qps_glove100_shape_1.18M_recall_constrained",

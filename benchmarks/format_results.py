@@ -38,9 +38,12 @@ def main(path="benchmarks/artifacts/round3_runs.jsonl"):
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if not line:
+            if not line or not line.startswith("{"):
+                continue  # child stdout noise (trainer step logs, waits)
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
                 continue
-            r = json.loads(line)
             key = r.get("config", "?")
             # config 5 runs twice (2M then 10M): key by size too
             if key == "5_deepimage96_10M_sharded":
