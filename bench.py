@@ -297,7 +297,10 @@ def _wait_for_backend(deadline_s: float) -> None:
                 [sys.executable, "-c",
                  "import jax, numpy as np, jax.numpy as jnp;"
                  "np.asarray(jnp.ones((8, 8)) + 1)"],
-                capture_output=True, timeout=max(60, deadline_s / 4),
+                capture_output=True,
+                # cap per-probe timeout: a hung init must not block the
+                # retry loop for deadline/4 when the deadline is hours
+                timeout=min(90, max(60, deadline_s / 4)),
             )
         except subprocess.TimeoutExpired as e:
             r = subprocess.CompletedProcess(

@@ -33,10 +33,10 @@ K = 10
 SEED = 0
 
 
-def make_workload(rng, skew: str = "trained"):
+def make_workload(rng, skew: str = "trained", n_corpus: int = N_CORPUS):
     import jax.numpy as jnp
 
-    corpus = rng.normal(size=(N_CORPUS, DIM)).astype(np.float32)
+    corpus = rng.normal(size=(n_corpus, DIM)).astype(np.float32)
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
     queries = rng.normal(size=(N_QUERIES, DIM)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
@@ -49,7 +49,7 @@ def make_workload(rng, skew: str = "trained"):
     # engine's design point (streamed bytes track actual occupancy)
     alpha = {"trained": 20.0, "high": 0.3}[skew]
     probs = rng.dirichlet(np.full(N_BUCKETS, alpha))
-    codes = rng.choice(N_BUCKETS, size=N_CORPUS, p=probs).astype(np.int32)
+    codes = rng.choice(N_BUCKETS, size=n_corpus, p=probs).astype(np.int32)
 
     # probes: a query's probe set is biased toward populous buckets the
     # same way flip-probing around a hard code is (popular regions get
@@ -87,10 +87,16 @@ def main():
               "both": [jnp.float32, jnp.bfloat16]}[dtype_arg]
 
     rng = np.random.default_rng(SEED)
-    corpus, queries, codes, pid, pvalid = make_workload(rng, skew)
+    # high skew: cap-aligned layouts cost n_buckets*cap rows (every
+    # bucket consumes a whole max-bucket-sized slot) — at 1.18M rows
+    # that is ~17 GB > HBM, so the skew probe runs at 400k where the
+    # same engine comparison fits the chip
+    n_corpus = 400_000 if skew == "high" else N_CORPUS
+    corpus, queries, codes, pid, pvalid = make_workload(
+        rng, skew, n_corpus=n_corpus)
     table = build_bucket_table(codes, N_BUCKETS)
     counts_np = np.asarray(table.counts)
-    mean_bucket = N_CORPUS / N_BUCKETS
+    mean_bucket = n_corpus / N_BUCKETS
     if skew == "high":
         # exact reference semantics on a skewed table: cap = max bucket
         # — the operating point where uniform-cap engines bleed padding
