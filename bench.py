@@ -253,8 +253,7 @@ def _engine_parity(corpus_np, queries_np, hashing, params):
     corpus = jnp.asarray(corpus_np[:n_small])
     queries = jnp.asarray(queries_np[:nq])
     qkey = jax.random.PRNGKey(SEED + 2)
-    engines = ("pallas", "pallas-grouped", "pallas-compact",
-               "pallas-windowed")
+    engines = ("pallas", "pallas-grouped", "pallas-windowed")
     out, ok = {}, True
     for metric in ("cosine", "euclidean"):
         # ONE table + layout per metric; engines are a serve-time switch

@@ -143,7 +143,7 @@ def _one_dispatch_qps(idx, queries, k=10, hash_times=10, key=None,
     into ONE compiled program (one dispatch + one fetch), min over
     ``n_reps`` — a degraded relay window costs <1/repeats instead of
     owning the number.  Returns QPS, or None where the fused program
-    does not apply (non-TPU, XLA/compact engines)."""
+    does not apply (non-TPU or XLA engine)."""
     import time
 
     import jax

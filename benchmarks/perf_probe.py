@@ -45,7 +45,7 @@ def make_workload(rng, skew: str = "trained", n_corpus: int = N_CORPUS):
     # shape of the balance-regularised trained table (bench r1: mean
     # 289, max 589).  --skew high: Dirichlet(0.3) — max/mean ~15-30,
     # an UNregularised trained table, where every uniform-cap engine
-    # pays the giant buckets' cap on every probe — the compact
+    # pays the giant buckets' cap on every probe — the grouped
     # engine's design point (streamed bytes track actual occupancy)
     alpha = {"trained": 20.0, "high": 0.3}[skew]
     probs = rng.dirichlet(np.full(N_BUCKETS, alpha))
@@ -113,7 +113,6 @@ def main():
 
     fns = {
         "pallas": serving.serving_query,
-        "pallas-compact": serving.serving_query_compact,
         "pallas-grouped": serving.serving_query_grouped,
     }
 

@@ -9,14 +9,15 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=benchmarks/artifacts/round3_runs.jsonl
 # headline (3) and the round-2 gap (4) first: if the chip window is
 # short, the highest-stakes numbers are already recorded
-KEYS=${@:-"3 4 1 2 pq exact compact 5"}
+KEYS=${@:-"3 4 1 2 pq exact skew 5"}
 for key in $KEYS; do
   echo "=== config $key $(date +%H:%M:%S) ===" >&2
   if [ "$key" = exact ]; then
     timeout 1500 python benchmarks/baseline_exact.py >> "$OUT" 2> >(tail -5 >&2)
-  elif [ "$key" = compact ]; then
-    # VERDICT #5: the row showing where pallas-compact wins (high skew)
-    timeout 1500 python benchmarks/perf_probe.py pallas pallas-grouped pallas-compact \
+  elif [ "$key" = skew ]; then
+    # high-skew engine comparison (the measurement that retired the
+    # compact engine: grouped won its design point 6x)
+    timeout 1500 python benchmarks/perf_probe.py pallas pallas-grouped \
       --dtype bf16 --skew high >> "$OUT" 2> >(tail -5 >&2)
   elif [ "$key" = 5 ]; then
     # 2M single-chip point first (bounded), then full 10M

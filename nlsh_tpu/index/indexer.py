@@ -184,12 +184,12 @@ class Indexer:
 
     #: engines: ``xla`` (gather + rerank in XLA), ``pallas`` (fixed-cap
     #: streaming kernel), ``pallas-grouped`` (bucket-grouped MXU matmuls
-    #: — the TPU default), ``pallas-compact`` (skew-proof block-event
-    #: stream; one host sync per query chunk to size it — wins on
-    #: high-skew tables where a few huge buckets force everyone's cap
-    #: up), ``pallas-windowed`` (dense layout + fixed windows — wins
-    #: when the mean bucket is far below the block size)
-    ENGINES = ("auto", "xla", "pallas", "pallas-grouped", "pallas-compact",
+    #: — the TPU default; its exact host bound + event grouping also
+    #: dominate on high-skew tables, measured 6x over the retired
+    #: block-event "compact" engine at that engine's own design point),
+    #: ``pallas-windowed`` (dense layout + fixed windows — wins when
+    #: the mean bucket is far below the block size)
+    ENGINES = ("auto", "xla", "pallas", "pallas-grouped",
                "pallas-windowed")
 
     def __init__(
@@ -476,22 +476,6 @@ class Indexer:
                 else "xla"
         serving_metric = self.metric in ("cosine", "euclidean",
                                          "sq_euclidean")
-        if engine == "pallas-compact" and serving_metric:
-            # the compact engine sizes its block-event stream with one
-            # host sync per query chunk, so it cannot live inside the
-            # fused one-dispatch program — its win is byte-proportional
-            # streaming on high-skew tables, not dispatch count
-            from nlsh_tpu.index.serving import serving_query_compact
-
-            probe_ids, probe_valid = self.hashing.hash(
-                self.params, queries, n_probes=hash_times, key=key,
-                probe_mode=probe_mode,
-            )
-            ids, _, n_cand = serving_query_compact(
-                self.layout, queries, probe_ids, probe_valid,
-                self.table.counts, k=k,
-            )
-            return self._with_fresh((ids, n_cand), queries, k)
         if engine != "xla" and serving_metric:
             serve = {"pallas-grouped": "grouped", "pallas": "fixed",
                      "pallas-windowed": "windowed"}[engine]

@@ -18,11 +18,8 @@ import jax.numpy as jnp
 
 from nlsh_tpu.ops.pallas.query_kernel import (
     ServingLayout,
-    _compact_prep,
-    _compact_scores,
     bucket_scores,
     extend_queries,
-    total_block_events,
 )
 
 Array = jnp.ndarray
@@ -93,7 +90,7 @@ def serving_query(
             "the fixed-cap engine indexes blocks by start/cap and needs a "
             f"cap-aligned layout (align={layout.align}, cap={layout.cap}); "
             "rebuild the layout with align=None or serve with the "
-            "grouped/compact engine"
+            "grouped engine"
         )
     qe = extend_queries(layout, queries)
     scores, start_pos = bucket_scores(
@@ -118,109 +115,6 @@ def serving_query(
         jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
     )
     return ids, top_scores, n_cand
-
-
-@partial(jax.jit, static_argnames=("k", "b_total", "max_blocks", "interpret"))
-def _compact_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
-                       k: int, b_total: int, max_blocks: int,
-                       interpret: bool):
-    br = layout.br  # static (rides the layout's pytree aux)
-    if layout.align % br:
-        raise ValueError(
-            "the compact engine indexes blocks by start/block_rows and "
-            f"needs block-aligned bucket starts (align={layout.align}, "
-            f"block_rows={br}); dense layouts serve via the windowed "
-            "engine"
-        )
-    qe = extend_queries(layout, queries)
-    block_idx, qbe, cnt, q_start, q_nblocks, _ = _compact_prep(
-        layout.starts, layout.counts, probe_ids, probe_valid, qe,
-        jnp.asarray(layout.cap, jnp.int32), b_total=b_total,
-        max_blocks=max_blocks, block_rows=br,
-    )
-    scores = _compact_scores(layout.data, qbe, block_idx, interpret=interpret,
-                             block_rows=br)
-    if layout.norms is not None:  # euclidean: score = 2q.c - ||c||^2
-        scores = scores - layout.norms.reshape(-1, br)[block_idx]
-    # occupancy masking in XLA (keeps per-event metadata out of SMEM)
-    lane = jnp.arange(br, dtype=jnp.int32)
-    scores = jnp.where(lane[None, :] < cnt[:, None], scores, -jnp.inf)
-
-    # per-query top-k over its contiguous block window
-    nq, n_probes = probe_ids.shape
-    max_bq = n_probes * max_blocks
-    win = q_start[:, None] + jnp.arange(max_bq, dtype=jnp.int32)  # (nq, maxBQ)
-    wvalid = jnp.arange(max_bq)[None, :] < q_nblocks[:, None]
-    safe_win = jnp.clip(win, 0, b_total - 1)
-    rows = scores[safe_win]  # (nq, maxBQ, br)
-    rows = jnp.where(wvalid[:, :, None], rows, -jnp.inf)
-    flat = rows.reshape(nq, max_bq * br)
-    top_scores, arg = jax.lax.top_k(flat, k)
-
-    blk_of = jnp.take_along_axis(safe_win, arg // br, axis=1)
-    pos = block_idx[blk_of] * br + arg % br
-    pos = jnp.clip(pos, 0, layout.n_rows - 1)
-    ids = layout.row_map[pos]
-    ids = jnp.where(jnp.isfinite(top_scores), ids, -1).astype(jnp.int32)
-
-    safe = jnp.clip(probe_ids, 0, full_counts.shape[0] - 1)
-    n_cand = jnp.sum(
-        jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
-    )
-    return ids, top_scores, n_cand
-
-
-def serving_query_compact(
-    layout: ServingLayout,
-    queries: Array,
-    probe_ids: Array,
-    probe_valid: Array,
-    full_counts: Array,
-    k: int,
-    interpret: bool | None = None,
-    query_chunk: int = 2048,
-) -> tuple[Array, Array, Array]:
-    """Skew-proof serving path: bytes streamed scale with the probed
-    buckets' actual occupancy (compact BLOCK_ROWS-row block events)
-    instead of a fixed worst-case cap.  Same results as
-    :func:`serving_query` whenever ``layout.cap`` covers the probed
-    buckets.
-
-    Involves one host sync per chunk to size the static block stream
-    (rounded up to limit recompiles).
-    """
-    import jax as _jax
-
-    if interpret is None:
-        interpret = _jax.default_backend() != "tpu"
-    from nlsh_tpu.ops.pallas.query_kernel import _EVENT_BLOCK
-
-    nq = queries.shape[0]
-    max_blocks = layout.cap // layout.br
-    out_ids, out_scores, out_cand = [], [], []
-    for s in range(0, nq, query_chunk):
-        e = min(s + query_chunk, nq)
-        pid, pv = probe_ids[s:e], probe_valid[s:e]
-        t_actual = total_block_events(layout, pid, pv)
-        # round the stream length to the next power of two (in units of
-        # the event block) so compile variants stay logarithmic
-        units = max(-(-t_actual // _EVENT_BLOCK), 1)
-        b_total = _EVENT_BLOCK * (1 << max(units - 1, 0).bit_length())
-        ids, scores, n_cand = _compact_query_jit(
-            layout, queries[s:e], pid, pv, full_counts,
-            k=k, b_total=b_total, max_blocks=max_blocks,
-            interpret=interpret,
-        )
-        out_ids.append(ids)
-        out_scores.append(scores)
-        out_cand.append(n_cand)
-    if len(out_ids) == 1:
-        return out_ids[0], out_scores[0], out_cand[0]
-    return (
-        jnp.concatenate(out_ids, 0),
-        jnp.concatenate(out_scores, 0),
-        jnp.concatenate(out_cand, 0),
-    )
 
 
 @partial(jax.jit, static_argnames=("k", "g_total", "max_blocks", "group_q",

@@ -86,7 +86,7 @@ class ServingLayout(NamedTuple):
     #                             d=128 streams 128 lanes, not 256, and
     #                             subtracted from scores in XLA after
     #                             the kernel (tiny traffic)
-    block_rows: int = 0  # rows per grouped/compact DMA block; 0 = the
+    block_rows: int = 0  # rows per grouped-engine DMA block; 0 = the
     #                      module default at SERVE time.  Recorded per
     #                      layout (round-2 ADVICE: a layout built under
     #                      one NLSH_BLOCK_ROWS and served under another
@@ -100,7 +100,7 @@ class ServingLayout(NamedTuple):
 
     @property
     def br(self) -> int:
-        """The layout's grouped/compact block size in rows."""
+        """The layout's grouped-engine block size in rows."""
         return self.block_rows if self.block_rows else BLOCK_ROWS
 
     def tree_flatten(self):
@@ -187,7 +187,7 @@ def layout_arrays(row_ids: Array, starts: Array, counts: Array,
 
 def round_cap(cap: int, block_rows: int | None = None) -> int:
     """cap is a whole number of block_rows-row blocks so both the
-    fixed-cap kernel (block index = start / cap) and the grouped/compact
+    fixed-cap kernel (block index = start / cap) and the grouped/windowed
     kernels (block index = start / block_rows) see exact block
     indices."""
     br = block_rows or BLOCK_ROWS
@@ -199,7 +199,7 @@ def aligned_rows(counts, cap: int, align: int | None = None) -> int:
 
     ``align`` is the per-bucket start alignment (default ``cap``).  The
     fixed-cap engine needs ``align == cap`` (its block index is
-    ``start / cap``); the grouped/compact engines only index by
+    ``start / cap``); the grouped/windowed engines only index by
     ``start / BLOCK_ROWS``, so ``align=BLOCK_ROWS`` shrinks the layout
     to ~``n + n_buckets*BLOCK_ROWS/2`` rows — at 10M rows x 16k buckets
     the difference is whether the layout fits in HBM at all."""
@@ -222,7 +222,7 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
     bf16 rerank precision — rank flips only among candidates whose
     distances differ below bf16 resolution.
 
-    ``block_rows`` is the grouped/compact DMA block size recorded on the
+    ``block_rows`` is the grouped-engine DMA block size recorded on the
     layout (default: the module-level ``BLOCK_ROWS``); low-occupancy
     tables (mean bucket << 512) waste less padding with smaller blocks.
     """
@@ -543,22 +543,14 @@ def _bucket_scores_auto(data, queries_ext, block_idx, counts,
 
 
 # ---------------------------------------------------------------------------
-# v3: compact block-event kernel — skew-proof streaming
+# block size shared by the grouped/windowed engines
 # ---------------------------------------------------------------------------
-#
-# The fixed-cap kernels stream `cap` rows per probe even when the probed
-# bucket is far smaller, so a few oversized buckets force everyone's cap
-# up and multiply HBM traffic.  Here each (query, probe) event expands
-# into ceil(count / block_rows) *block events* of a small fixed block
-# (block_rows rows), compacted into one flat stream: bytes streamed are
-# proportional to the candidates actually probed, independent of skew.
-#
-# Per-event metadata rides as data, not control: the per-event query
-# vector is pre-gathered into a (B_total, d_pad) array streamed through
-# the same pipeline, and occupancy masking happens in XLA afterwards —
-# only the block index itself needs scalar prefetch.
+# (a standalone per-block-event "compact" kernel lived here through
+# round 3; the grouped kernel's exact host bound + event grouping beat
+# it 6x at its own high-skew design point, so it was retired —
+# benchmarks/RESULTS.md "engine retirement")
 
-# DEFAULT rows per compact block (one DMA).  NLSH_BLOCK_ROWS to
+# DEFAULT rows per DMA block.  NLSH_BLOCK_ROWS to
 # experiment: bigger blocks amortize per-DMA/per-group overhead against
 # more per-bucket padding bytes.  Measured on chip at the bench workload
 # (mean bucket 289): 128 -> 87.0k QPS (108 GB/s useful), 256 -> 118.5k,
@@ -574,124 +566,6 @@ BLOCK_ROWS = int(os.environ.get("NLSH_BLOCK_ROWS", 512))
 def _br(block_rows: int | None) -> int:
     """Resolve a per-call/per-layout block size to the module default."""
     return block_rows if block_rows else BLOCK_ROWS
-
-
-def _make_compact_kernel(eb: int, block_rows: int, d_pad: int):
-    def kernel(blkidx_ref, qbe_ref, *refs):
-        # qbe_ref: (eb, d_pad) per-event query rows; refs: eb corpus
-        # block refs then out_ref (eb, block_rows)
-        out_ref = refs[-1]
-        for j in range(eb):
-            q_col = qbe_ref[j, :].reshape(d_pad, 1)
-            out_ref[j, :] = jnp.dot(
-                refs[j][...].astype(jnp.float32), q_col.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PREC,
-            )[:, 0]
-
-    return kernel
-
-
-@partial(jax.jit, static_argnames=("interpret", "block_rows"))
-def _compact_scores(data, qbe, block_idx, interpret: bool,
-                    block_rows: int | None = None):
-    """Score every compact block event: ``(B_total, block_rows)``.
-
-    data: (n_aligned, d_pad); qbe: (B_total, d_pad) per-event query
-    rows; block_idx: (B_total,) int32 block numbers into `data`.
-    """
-    br = block_rows or BLOCK_ROWS
-    b_total, d_pad = qbe.shape
-    eb = _EVENT_BLOCK
-    assert b_total % eb == 0
-
-    def corpus_spec(j):
-        return pl.BlockSpec(
-            (br, d_pad),
-            lambda i, blk: (blk[i * eb + j], 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b_total // eb,),
-        in_specs=[
-            pl.BlockSpec((eb, d_pad), lambda i, blk: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [corpus_spec(j) for j in range(eb)],
-        out_specs=pl.BlockSpec((eb, br), lambda i, blk: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        _make_compact_kernel(eb, br, d_pad),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_total, br), jnp.float32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(block_idx, qbe, *([data] * eb))
-
-
-@partial(jax.jit, static_argnames=("b_total", "max_blocks", "block_rows"))
-def _compact_prep(layout_starts, layout_counts, probe_ids, probe_valid,
-                  queries_ext, cap: Array, b_total: int, max_blocks: int,
-                  block_rows: int | None = None):
-    """Expand (query, probe) events into the flat block-event stream.
-
-    Returns (block_idx (B,), qbe (B, d_pad), cnt (B,), q_start (nq,),
-    q_nblocks (nq,)) with B = b_total; unused slots point at block 0
-    with cnt 0.
-    """
-    BLOCK_ROWS = _br(block_rows)
-    nq, n_probes = probe_ids.shape
-    safe = jnp.clip(probe_ids, 0, layout_starts.shape[0] - 1)
-    counts = jnp.where(
-        probe_valid, jnp.minimum(layout_counts[safe], cap), 0
-    ).astype(jnp.int32)
-    base_block = (layout_starts[safe] // BLOCK_ROWS).astype(jnp.int32)
-
-    flat_counts = counts.reshape(-1)  # (E,)
-    flat_base = base_block.reshape(-1)
-    nb = -(-flat_counts // BLOCK_ROWS)  # blocks per event
-    ev_end = jnp.cumsum(nb, dtype=jnp.int32)
-    ev_start = ev_end - nb
-
-    j = jnp.arange(max_blocks, dtype=jnp.int32)
-    pos = ev_start[:, None] + j  # (E, maxB)
-    valid = j < nb[:, None]
-    pos = jnp.where(valid, pos, b_total)  # sentinel -> dropped
-
-    block_idx = (
-        jnp.zeros((b_total,), jnp.int32)
-        .at[pos.reshape(-1)]
-        .set((flat_base[:, None] + j).reshape(-1), mode="drop")
-    )
-    cnt = (
-        jnp.zeros((b_total,), jnp.int32)
-        .at[pos.reshape(-1)]
-        .set(
-            jnp.clip(flat_counts[:, None] - j * BLOCK_ROWS, 0, BLOCK_ROWS)
-            .reshape(-1),
-            mode="drop",
-        )
-    )
-    qidx_flat = jnp.repeat(
-        jnp.arange(nq, dtype=jnp.int32), n_probes
-    )  # (E,)
-    qidx = (
-        jnp.zeros((b_total,), jnp.int32)
-        .at[pos.reshape(-1)]
-        .set(
-            jnp.broadcast_to(qidx_flat[:, None], pos.shape).reshape(-1),
-            mode="drop",
-        )
-    )
-    qbe = queries_ext[qidx]  # (B, d_pad)
-
-    q_start = ev_start.reshape(nq, n_probes)[:, 0]
-    q_nblocks = jnp.sum(nb.reshape(nq, n_probes), axis=1)
-    return block_idx, qbe, cnt, q_start, q_nblocks, counts
 
 
 # ---------------------------------------------------------------------------
@@ -1437,18 +1311,6 @@ def _windowed_scores(data, grp_qvecs, grp_window, interpret: bool,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(grp_window, grp_qvecs, *([data] * eb))
-
-
-def total_block_events(layout: ServingLayout, probe_ids, probe_valid,
-                       cap: int | None = None) -> int:
-    """Host helper: number of compact block events for a probe batch
-    (used to pick the static stream length)."""
-    safe = jnp.clip(probe_ids, 0, layout.starts.shape[0] - 1)
-    cap = cap or layout.cap
-    counts = jnp.where(
-        probe_valid, jnp.minimum(layout.counts[safe], cap), 0
-    )
-    return int(jnp.sum(-(-counts // layout.br)))
 
 
 def bucket_scores(layout: ServingLayout, queries_ext: Array,

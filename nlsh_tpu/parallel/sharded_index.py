@@ -181,14 +181,8 @@ class ShardedIndexer:
         raises mid-serve or silently forfeits the engine's design
         point."""
         if value not in ("auto", "xla", "pallas", "pallas-grouped",
-                         "pallas-compact", "pallas-windowed"):
+                         "pallas-windowed"):
             raise ValueError(f"unknown engine {value!r}")
-        if value == "pallas-compact" and self.mesh.devices.size > 1:
-            raise ValueError(
-                "pallas-compact sizes its block stream with per-chunk host "
-                "syncs, which cannot live inside one shard_map program; "
-                "use pallas-grouped on multi-device meshes"
-            )
         if value == "auto":
             # grouped dominates fixed-cap at every measured operating
             # point (RESULTS.md r2) and its layout needs ~3x less HBM
@@ -305,13 +299,13 @@ class ShardedIndexer:
 
         br = _br(self.block_rows)
         cap = round_cap(int(jnp.max(self.counts)), br)
-        # the grouped/compact engines index blocks by start/block_rows,
-        # so their layouts only need block-aligned bucket starts — ~3x
-        # less HBM than cap alignment at 10M rows x 16k buckets; the
-        # windowed engine packs DENSE (8-row starts: its design point
-        # is mean bucket << block, where block alignment is mostly
-        # padding); the fixed-cap engine keeps cap alignment
-        align = {"pallas-grouped": br, "pallas-compact": br,
+        # the grouped engine indexes blocks by start/block_rows, so its
+        # layouts only need block-aligned bucket starts — ~3x less HBM
+        # than cap alignment at 10M rows x 16k buckets; the windowed
+        # engine packs DENSE (8-row starts: its design point is mean
+        # bucket << block, where block alignment is mostly padding);
+        # the fixed-cap engine keeps cap alignment
+        align = {"pallas-grouped": br,
                  "pallas-windowed": 8}.get(self.engine, cap)
         counts_np = np.asarray(self.counts)  # (D, n_buckets)
         # whole-window tail: every engine indexes br-row blocks/windows
@@ -564,31 +558,6 @@ class ShardedIndexer:
         engine = self.engine
         serving_metric = self.metric in ("cosine", "euclidean",
                                          "sq_euclidean")
-        if engine == "pallas-compact" and serving_metric:
-            # single-device only (ctor enforces): the compact engine's
-            # per-chunk host sync sizes the block stream to the probed
-            # occupancy — byte-proportional streaming on high-skew tables
-            from nlsh_tpu.index.serving import serving_query_compact
-            from nlsh_tpu.ops.pallas.query_kernel import ServingLayout, _br
-
-            data, row_map, astarts, norms, cap, align, total_blocks = (
-                self._build_layouts()
-            )
-            layout = ServingLayout(
-                data=data[0], row_map=row_map[0], starts=astarts[0],
-                counts=self.counts[0], cap=cap, d_pad=data.shape[-1],
-                align=align, metric=self.metric,
-                norms=None if norms is None else norms[0],
-                total_blocks=total_blocks, block_rows=_br(self.block_rows),
-            )
-            pids, pvalid = self.hashing.hash(
-                self.params, queries, n_probes=hash_times, key=key,
-                probe_mode=probe_mode,
-            )
-            ids, _, ncand = serving_query_compact(
-                layout, queries, pids, pvalid, self.counts[0], k=k,
-            )
-            return jnp.concatenate([ids, ncand[:, None]], axis=1)
         if engine in ("pallas", "pallas-grouped",
                       "pallas-windowed") and serving_metric:
             data, row_map, astarts, norms, cap, _, _ = self._build_layouts()

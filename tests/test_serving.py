@@ -54,40 +54,6 @@ def test_serving_matches_xla_path(metric):
 
 
 @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
-def test_compact_matches_xla_path(metric):
-    from nlsh_tpu.index.serving import serving_query_compact
-
-    rng = np.random.default_rng(4)
-    n, d, nb, nq, P, k = 600, 24, 16, 33, 5, 7
-    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
-    bucket_ids = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
-    probe_raw = np.sort(rng.integers(0, nb, (nq, P)).astype(np.int32), axis=1)
-    probe_valid = np.concatenate(
-        [np.ones((nq, 1), bool), probe_raw[:, 1:] != probe_raw[:, :-1]], axis=1
-    )
-    probe_ids = jnp.asarray(probe_raw)
-    probe_valid = jnp.asarray(probe_valid)
-
-    table = build_bucket_table(bucket_ids, nb)
-    x_top, _, x_cand = query_bucket_table(
-        table, corpus, queries, probe_ids, probe_valid, k=k,
-        probe_budget=int(table.max_count()), metric=metric, query_chunk=8,
-    )
-    layout = serving_layout(table, corpus, metric=metric)
-    c_top, c_scores, c_cand = serving_query_compact(
-        layout, queries, probe_ids, probe_valid, table.counts, k=k,
-        interpret=True,
-    )
-    np.testing.assert_array_equal(np.asarray(c_cand), np.asarray(x_cand))
-    assert (np.asarray(x_top) == np.asarray(c_top)).mean() > 0.98
-    s = np.asarray(c_scores)
-    for i in range(nq):
-        v = s[i][np.isfinite(s[i])]
-        assert (np.diff(v) <= 1e-5).all()
-
-
-@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
 def test_grouped_matches_xla_path(metric):
     from nlsh_tpu.index.serving import serving_query_grouped
 
@@ -119,26 +85,6 @@ def test_grouped_matches_xla_path(metric):
     for i in range(nq):
         v = s[i][np.isfinite(s[i])]
         assert (np.diff(v) <= 1e-5).all()
-
-
-def test_compact_chunked_queries():
-    from nlsh_tpu.index.serving import serving_query, serving_query_compact
-
-    rng = np.random.default_rng(5)
-    corpus = jnp.asarray(rng.normal(size=(300, 8)).astype(np.float32))
-    queries = jnp.asarray(rng.normal(size=(25, 8)).astype(np.float32))
-    bucket_ids = jnp.asarray(rng.integers(0, 8, 300).astype(np.int32))
-    table = build_bucket_table(bucket_ids, 8)
-    layout = serving_layout(table, corpus, metric="cosine")
-    pid = jnp.asarray(np.sort(rng.integers(0, 8, (25, 3)), axis=1).astype(np.int32))
-    pv = jnp.ones((25, 3), bool)
-    full_top, _, full_cand = serving_query(
-        layout, queries, pid, pv, table.counts, k=4, interpret=True)
-    c_top, _, c_cand = serving_query_compact(
-        layout, queries, pid, pv, table.counts, k=4, interpret=True,
-        query_chunk=7)
-    np.testing.assert_array_equal(np.asarray(c_cand), np.asarray(full_cand))
-    assert (np.asarray(c_top) == np.asarray(full_top)).mean() > 0.98
 
 
 def test_serving_cap_truncation():
@@ -404,9 +350,7 @@ def test_per_layout_block_rows(metric, block_rows):
     through every engine that derives block indices from the layout
     (round-2 VERDICT #10: the 10M low-occupancy config wants 128-row
     blocks while glove-shape keeps 512)."""
-    from nlsh_tpu.index.serving import (
-        serving_query_compact, serving_query_grouped,
-    )
+    from nlsh_tpu.index.serving import serving_query_grouped
 
     rng = np.random.default_rng(33)
     n, d, nb, nq, P, k = 900, 24, 16, 31, 5, 7
@@ -437,14 +381,7 @@ def test_per_layout_block_rows(metric, block_rows):
     np.testing.assert_array_equal(np.asarray(g_cand), np.asarray(x_cand))
     assert (np.asarray(x_top) == np.asarray(g_top)).mean() > 0.98
 
-    c_top, _, c_cand = serving_query_compact(
-        layout, queries, probe_ids, probe_valid, table.counts, k=k,
-        interpret=True,
-    )
-    np.testing.assert_array_equal(np.asarray(c_cand), np.asarray(x_cand))
-    assert (np.asarray(x_top) == np.asarray(c_top)).mean() > 0.98
-
-    # block-aligned (grouped/compact-only) layout at the same block size
+    # block-aligned (grouped-only) layout at the same block size
     layout_ba = serving_layout(table, corpus, metric=metric,
                                block_rows=block_rows, align=block_rows)
     g2_top, _, _ = serving_query_grouped(
@@ -452,42 +389,6 @@ def test_per_layout_block_rows(metric, block_rows):
         interpret=True,
     )
     assert (np.asarray(g_top) == np.asarray(g2_top)).mean() > 0.98
-
-
-def test_indexer_compact_engine():
-    """engine='pallas-compact' is selectable on the Indexer (round-2
-    VERDICT weak #3: previously implemented but unreachable)."""
-    rng = np.random.default_rng(7)
-    n, d, nq, k = 800, 16, 40, 5
-    corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    queries = jnp.asarray(rng.normal(size=(nq, d)).astype(np.float32))
-    enc = MLPEncoder(d, (32,))
-    hashing = MultivariateBernoulli(enc, 6)
-    params = hashing.init(jax.random.PRNGKey(0))
-
-    ref = Indexer(hashing, params, corpus, engine="xla")
-    r_top, r_cand = ref.query(queries, k=k, hash_times=4,
-                              probe_mode="flip")
-    idx = Indexer(hashing, params, corpus, engine="pallas-compact")
-    c_top, c_cand = idx.query(queries, k=k, hash_times=4,
-                              probe_mode="flip")
-    np.testing.assert_array_equal(c_cand, r_cand)
-    assert (r_top == c_top).mean() > 0.98
-
-
-def test_sharded_compact_engine_multi_device_rejected():
-    from nlsh_tpu.parallel.mesh import make_mesh
-    from nlsh_tpu.parallel.sharded_index import ShardedIndexer
-
-    mesh = make_mesh(2, axis="shard")
-    rng = np.random.default_rng(9)
-    corpus = rng.normal(size=(64, 8)).astype(np.float32)
-    enc = MLPEncoder(8, (16,))
-    hashing = MultivariateBernoulli(enc, 4)
-    params = hashing.init(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="pallas-compact"):
-        ShardedIndexer(hashing, params, corpus, mesh,
-                       engine="pallas-compact")
 
 
 @pytest.mark.parametrize("block_rows", [128, 512])
