@@ -382,14 +382,8 @@ def main():
     # neighbours while the engines are group-overhead-bound (f32 bytes
     # are ~free) — let the recall-constrained pick decide per run
     sweep = []
-    for engine, sdtype in (("pallas-grouped", jnp.float32),
-                           ("pallas-grouped", jnp.bfloat16),
-                           ("pallas", jnp.float32)):
-        if sweep and time.perf_counter() - t_start > SWEEP_DEADLINE_S:
-            print(f"sweep truncated after {len(sweep)} entries "
-                  f"(deadline {SWEEP_DEADLINE_S:.0f}s)",
-                  file=sys.stderr, flush=True)
-            break
+
+    def _measure_entry(engine, sdtype):
         try:
             indexer.engine = engine
             indexer.serving_dtype = sdtype
@@ -438,6 +432,38 @@ def main():
         except Exception as e:  # never lose the bench line to one engine
             print(f"{engine} skipped: {e!r}", file=sys.stderr, flush=True)
 
+    # headline operating point FIRST (grouped f32 won every round-3
+    # measurement), then the engine-parity smoke (round-2 VERDICT #2 —
+    # it must not be the thing a degraded compile window squeezes out,
+    # which is exactly what happened when it ran after the full sweep),
+    # then the comparison rows under the sweep deadline.
+    _measure_entry("pallas-grouped", jnp.float32)
+
+    parity: dict | None = None
+    parity_ok = None
+    elapsed = time.perf_counter() - t_start
+    if elapsed < PARITY_DEADLINE_S:
+        try:
+            parity, parity_ok = _engine_parity(
+                corpus_np, queries_np, hashing, params
+            )
+        except Exception as e:
+            print(f"parity smoke failed: {e!r}", file=sys.stderr, flush=True)
+            parity_ok = False
+    else:
+        print(f"parity smoke skipped: {elapsed:.0f}s elapsed "
+              f"(deadline {PARITY_DEADLINE_S:.0f}s)",
+              file=sys.stderr, flush=True)
+
+    for engine, sdtype in (("pallas-grouped", jnp.bfloat16),
+                           ("pallas", jnp.float32)):
+        if time.perf_counter() - t_start > SWEEP_DEADLINE_S:
+            print(f"sweep truncated after {len(sweep)} entries "
+                  f"(deadline {SWEEP_DEADLINE_S:.0f}s)",
+                  file=sys.stderr, flush=True)
+            break
+        _measure_entry(engine, sdtype)
+
     if not sweep:
         # both Pallas engines failed: fall back to the XLA gather path
         # so the bench line is degraded, never lost
@@ -457,23 +483,6 @@ def main():
     exact_recall = max(s["recall"] for s in sweep)
     eligible = [s for s in sweep if s["recall"] >= exact_recall - 0.01]
     best = max(eligible, key=lambda s: s["qps"])
-
-    # -- engine-parity smoke on the real chip (time-guarded) ------------
-    parity: dict | None = None
-    parity_ok = None
-    elapsed = time.perf_counter() - t_start
-    if elapsed < PARITY_DEADLINE_S:
-        try:
-            parity, parity_ok = _engine_parity(
-                corpus_np, queries_np, hashing, params
-            )
-        except Exception as e:
-            print(f"parity smoke failed: {e!r}", file=sys.stderr, flush=True)
-            parity_ok = False
-    else:
-        print(f"parity smoke skipped: {elapsed:.0f}s elapsed "
-              f"(deadline {PARITY_DEADLINE_S:.0f}s)",
-              file=sys.stderr, flush=True)
 
     result = {
         "metric": "qps_glove100_shape_1.18M_recall_constrained",

@@ -27,6 +27,7 @@ from pathlib import Path
 import numpy as np
 
 _SRC = Path(__file__).parent / "nlsh_native.cpp"
+_HNSW_SRC = Path(__file__).parent / "hnsw.cpp"
 _LIB_DIR = Path(
     os.environ.get("NLSH_NATIVE_CACHE", Path.home() / ".cache" / "nlsh_tpu")
 )
@@ -45,13 +46,16 @@ def _build_library() -> Path | None:
 
     _LIB_DIR.mkdir(parents=True, exist_ok=True)
     lib_path = _LIB_DIR / "libnlsh_native.so"
-    if lib_path.exists() and lib_path.stat().st_mtime >= _SRC.stat().st_mtime:
+    srcs = [_SRC, _HNSW_SRC]
+    if lib_path.exists() and lib_path.stat().st_mtime >= max(
+        s.stat().st_mtime for s in srcs
+    ):
         return lib_path
     cmd = [
         os.environ.get("CXX", "g++"),
         "-O3", "-shared", "-fPIC", "-std=c++17",
         f"-I{jax.ffi.include_dir()}",
-        str(_SRC), "-o", str(lib_path),
+        *[str(s) for s in srcs], "-o", str(lib_path),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -81,6 +85,23 @@ def _get_lib():
         ]
         lib.nlsh_build_csr.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.nlsh_hnsw_create.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+        ]
+        lib.nlsh_hnsw_create.restype = ctypes.c_void_p
+        lib.nlsh_hnsw_free.argtypes = [ctypes.c_void_p]
+        lib.nlsh_hnsw_add.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.nlsh_hnsw_add.restype = ctypes.c_int64
+        lib.nlsh_hnsw_count.argtypes = [ctypes.c_void_p]
+        lib.nlsh_hnsw_count.restype = ctypes.c_int64
+        lib.nlsh_hnsw_search.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
@@ -207,3 +228,80 @@ def build_csr_ffi(bucket_ids, n_buckets: int):
          jax.ShapeDtypeStruct((n_buckets,), jnp.int32),
          jax.ShapeDtypeStruct((n_buckets,), jnp.int32)),
     )(bucket_ids.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Native HNSW baseline (hnsw.cpp) — hnswlib-shaped API
+# ---------------------------------------------------------------------------
+
+class NativeHNSW:
+    """In-repo HNSW graph index (``hnsw.cpp``) with the subset of the
+    hnswlib API the baseline trainer uses (reference
+    ``nlsh/trainers/hnsw.py:28-63``): ``init_index`` / ``add_items`` /
+    ``set_ef`` / ``knn_query``.  ``knn_query`` returns
+    ``(ids, dists, counts)`` — per-query scored-node counts, the
+    ``query_size`` channel the reference could only get from an
+    hnswlib fork (``hnsw.py:52``).
+
+    Labels: external int labels are mapped through an internal dense
+    id space (insert order), like hnswlib's label lookup."""
+
+    def __init__(self, space: str, dim: int):
+        if space not in ("cosine", "l2"):
+            raise ValueError(f"unknown space {space!r}")
+        self.space = space
+        self.dim = dim
+        self._h = None
+        self._labels: np.ndarray | None = None
+        self._n = 0
+        self.ef = 10
+
+    def init_index(self, max_elements: int, M: int = 10,
+                   ef_construction: int = 500, seed: int = 100):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError(f"native library unavailable: {_build_error}")
+        self._h = lib.nlsh_hnsw_create(
+            self.dim, 0 if self.space == "cosine" else 1,
+            int(max_elements), int(M), int(ef_construction), int(seed),
+        )
+        self._labels = np.empty(int(max_elements), dtype=np.int64)
+
+    def set_ef(self, ef: int):
+        self.ef = int(ef)
+
+    def add_items(self, data: np.ndarray, labels=None):
+        if self._h is None:
+            raise RuntimeError("init_index first")
+        data = np.ascontiguousarray(data, dtype=np.float32)
+        n = data.shape[0]
+        if labels is None:
+            labels = np.arange(self._n, self._n + n, dtype=np.int64)
+        labels = np.asarray(labels, dtype=np.int64)
+        new_n = _get_lib().nlsh_hnsw_add(self._h, _ptr(data), n)
+        if new_n < 0:
+            raise RuntimeError("index full (max_elements exceeded)")
+        self._labels[self._n:self._n + n] = labels
+        self._n = int(new_n)
+
+    def get_current_count(self) -> int:
+        return self._n
+
+    def knn_query(self, queries: np.ndarray, k: int = 10):
+        queries = np.ascontiguousarray(queries, dtype=np.float32)
+        nq = queries.shape[0]
+        ids = np.empty((nq, k), dtype=np.int64)
+        dists = np.empty((nq, k), dtype=np.float32)
+        counts = np.empty((nq,), dtype=np.int64)
+        _get_lib().nlsh_hnsw_search(
+            self._h, _ptr(queries), nq, int(k), int(self.ef),
+            _ptr(ids), _ptr(dists), _ptr(counts),
+        )
+        found = ids >= 0
+        ids[found] = self._labels[ids[found]]
+        return ids, dists, counts
+
+    def __del__(self):
+        h, self._h = self._h, None
+        if h is not None and _lib is not None:
+            _lib.nlsh_hnsw_free(h)

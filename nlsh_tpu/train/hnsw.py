@@ -1,10 +1,18 @@
 """HNSW baseline (reference ``nlsh/trainers/hnsw.py``) — a non-learned
-comparison point via the external C++ ``hnswlib``.
+comparison point.
 
-Gated import: the dependency is optional.  The reference additionally
-relies on an hnswlib *fork* whose ``knn_query`` returns per-query visit
-counts (``hnsw.py:52``); the stock library returns only (ids, dists),
-so ``query_size`` is logged as NaN when counts are unavailable.
+Backends, in preference order:
+
+* the external C++ ``hnswlib`` when importable (gated optional dep) —
+  the reference's exact dependency;
+* the in-repo native C++ implementation
+  (:class:`nlsh_tpu.native.NativeHNSW`, ``native/hnsw.cpp``) — same
+  algorithm, same hyper-parameter surface, built with the system
+  toolchain, so the baseline is measurable in images where pip is
+  unavailable (this one).  It also returns per-query visited counts,
+  the ``query_size`` channel the reference could only get from an
+  hnswlib *fork* (``hnsw.py:52``); with stock hnswlib that channel is
+  logged as NaN.
 
 An always-available exact baseline lives at
 :func:`nlsh_tpu.ops.knn.knn` (brute force on the MXU).
@@ -35,10 +43,21 @@ class HNSWBaseline:
     ):
         try:
             import hnswlib
-        except ImportError as e:
-            raise ImportError(
-                "HNSWBaseline requires the optional `hnswlib` package"
-            ) from e
+
+            self._make_index = hnswlib.Index
+            self.backend = "hnswlib"
+        except ImportError:
+            from nlsh_tpu import native
+            from nlsh_tpu.native import NativeHNSW
+
+            native._get_lib()  # attempt the build so HAVE_NATIVE is current
+            if not native.HAVE_NATIVE:
+                raise ImportError(
+                    "HNSWBaseline needs either the optional `hnswlib` "
+                    "package or a C++ toolchain for the in-repo backend"
+                )
+            self._make_index = NativeHNSW
+            self.backend = "native"
 
         self.data = data
         self.logger = logger or NullLogger()
@@ -50,7 +69,8 @@ class HNSWBaseline:
         self.ground_truth = self.data.ground_truth[:, :10]
 
         space = "cosine" if self.data.metric == "cosine" else "l2"
-        self.index = hnswlib.Index(space=space, dim=self.candidate_vectors.shape[1])
+        self.index = self._make_index(space=space,
+                                      dim=self.candidate_vectors.shape[1])
         self.index.init_index(
             max_elements=self.candidate_vectors.shape[0],
             M=max_connections,
