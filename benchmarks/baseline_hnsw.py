@@ -27,7 +27,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import N_QUERIES, SEED, _load_or_compute_gt, glove100_workload
+from bench import (
+    N_QUERIES,
+    SEED,
+    TRAIN_SUBSET,
+    _load_or_compute_gt,
+    glove100_workload,
+)
 from nlsh_tpu.native import NativeHNSW, _get_lib
 from nlsh_tpu.utils.metrics import calculate_recall
 
@@ -39,7 +45,9 @@ def main():
     n = int(os.environ.get("NLSH_HNSW_N", 0)) or None
     rng = np.random.default_rng(SEED)
     corpus, queries = glove100_workload(rng)
-    sub_idx = rng.choice(corpus.shape[0], 131_072, replace=False)  # keyed GT
+    # same rng draw position + size as bench.main so a cache MISS here
+    # writes the byte-identical entry bench.py would
+    sub_idx = rng.choice(corpus.shape[0], TRAIN_SUBSET, replace=False)
     if n is None or n >= corpus.shape[0]:
         n = corpus.shape[0]
         gt, _, gt_s, _ = _load_or_compute_gt(corpus, queries, sub_idx)

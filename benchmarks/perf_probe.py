@@ -45,8 +45,10 @@ def make_workload(rng, skew: str = "trained", n_corpus: int = N_CORPUS):
     # shape of the balance-regularised trained table (bench r1: mean
     # 289, max 589).  --skew high: Dirichlet(0.3) — max/mean ~15-30,
     # an UNregularised trained table, where every uniform-cap engine
-    # pays the giant buckets' cap on every probe — the grouped
-    # engine's design point (streamed bytes track actual occupancy)
+    # pays the giant buckets' cap on every probe — the workload that
+    # retired the byte-proportional "compact" engine: the grouped
+    # engine's exact host bound + event grouping won it 6.3x, because
+    # serve time is per-group overhead, not streamed bytes
     alpha = {"trained": 20.0, "high": 0.3}[skew]
     probs = rng.dirichlet(np.full(N_BUCKETS, alpha))
     codes = rng.choice(N_BUCKETS, size=n_corpus, p=probs).astype(np.int32)

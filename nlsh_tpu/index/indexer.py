@@ -365,6 +365,11 @@ class Indexer:
                 starts=jnp.asarray(z["starts"]),
                 counts=jnp.asarray(z["counts"]),
             )
+        if engine == "pallas-compact":
+            # retired round 3 (RESULTS.md: grouped won its design point
+            # 6.3x); same block-aligned layout, so old artifacts serve
+            # correctly under the replacement
+            engine = "pallas-grouped"
         return cls(
             hashing, params, corpus, metric=metric,
             probe_budget=int(probe_budget), engine=engine,

@@ -261,6 +261,10 @@ class NativeHNSW:
         lib = _get_lib()
         if lib is None:
             raise RuntimeError(f"native library unavailable: {_build_error}")
+        if self._h is not None:  # re-init: drop the old graph + mapping
+            lib.nlsh_hnsw_free(self._h)
+            self._h = None
+            self._n = 0
         self._h = lib.nlsh_hnsw_create(
             self.dim, 0 if self.space == "cosine" else 1,
             int(max_elements), int(M), int(ef_construction), int(seed),
@@ -274,10 +278,15 @@ class NativeHNSW:
         if self._h is None:
             raise RuntimeError("init_index first")
         data = np.ascontiguousarray(data, dtype=np.float32)
+        if data.ndim != 2 or data.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) data, "
+                             f"got {data.shape}")
         n = data.shape[0]
         if labels is None:
             labels = np.arange(self._n, self._n + n, dtype=np.int64)
         labels = np.asarray(labels, dtype=np.int64)
+        if labels.shape != (n,):
+            raise ValueError(f"expected {n} labels, got {labels.shape}")
         new_n = _get_lib().nlsh_hnsw_add(self._h, _ptr(data), n)
         if new_n < 0:
             raise RuntimeError("index full (max_elements exceeded)")
@@ -288,7 +297,12 @@ class NativeHNSW:
         return self._n
 
     def knn_query(self, queries: np.ndarray, k: int = 10):
+        if self._h is None:
+            raise RuntimeError("init_index first")
         queries = np.ascontiguousarray(queries, dtype=np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) queries, "
+                             f"got {queries.shape}")
         nq = queries.shape[0]
         ids = np.empty((nq, k), dtype=np.int64)
         dists = np.empty((nq, k), dtype=np.float32)

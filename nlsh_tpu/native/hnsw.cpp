@@ -126,17 +126,23 @@ struct HnswIndex {
     return result;
   }
 
-  // Algorithm 4: heuristic selection of up to m neighbors from a
-  // candidate max-heap — keep a candidate only if it is closer to the
-  // base point than to every already-kept neighbor (diversity rule),
-  // then backfill with the nearest pruned ones (keepPruned).
-  void select_neighbors(const float* base, std::priority_queue<DistNode>& W,
-                        uint32_t m, std::vector<uint32_t>& out) {
+  static std::vector<DistNode> drain_ascending(
+      std::priority_queue<DistNode>& W) {
     std::vector<DistNode> byDist(W.size());
     for (int64_t i = int64_t(W.size()) - 1; i >= 0; --i) {
       byDist[i] = W.top();
       W.pop();
     }
+    return byDist;
+  }
+
+  // Algorithm 4: heuristic selection of up to m neighbors from an
+  // ascending-distance candidate list — keep a candidate only if it is
+  // closer to the base point than to every already-kept neighbor
+  // (diversity rule), then backfill with the nearest pruned ones
+  // (keepPruned).
+  void select_neighbors(const std::vector<DistNode>& byDist,
+                        uint32_t m, std::vector<uint32_t>& out) {
     out.clear();
     std::vector<DistNode> pruned;
     for (const auto& [d, c] : byDist) {
@@ -193,15 +199,14 @@ struct HnswIndex {
     // connect on layers min(l, top_level) .. 0
     for (int lev = std::min(l, top_level); lev >= 0; --lev) {
       auto W = search_layer(q, ep, ep_d, lev, ef_construction);
+      const std::vector<DistNode> byDist = drain_ascending(W);
       // next layer's entry point: the best element found here
-      std::priority_queue<DistNode> Wcopy = W;
-      while (Wcopy.size() > 1) Wcopy.pop();
-      ep = Wcopy.top().second;
-      ep_d = Wcopy.top().first;
+      ep = byDist.front().second;
+      ep_d = byDist.front().first;
 
       const uint32_t cap = lev == 0 ? M0 : M;
       std::vector<uint32_t> neigh;
-      select_neighbors(q, W, M, neigh);
+      select_neighbors(byDist, M, neigh);
       uint32_t* nb = links(id, lev);
       nb[0] = uint32_t(neigh.size());
       for (uint32_t j = 0; j < neigh.size(); ++j) nb[j + 1] = neigh[j];
@@ -216,8 +221,9 @@ struct HnswIndex {
           W2.emplace(dist(vec(e), vec(id)), id);
           for (uint32_t j = 1; j <= enb[0]; ++j)
             W2.emplace(dist(vec(e), vec(enb[j])), enb[j]);
+          const std::vector<DistNode> by2 = drain_ascending(W2);
           std::vector<uint32_t> kept;
-          select_neighbors(vec(e), W2, cap, kept);
+          select_neighbors(by2, cap, kept);
           enb[0] = uint32_t(kept.size());
           for (uint32_t j = 0; j < kept.size(); ++j) enb[j + 1] = kept[j];
         }
@@ -261,11 +267,7 @@ struct HnswIndex {
       }
     }
     auto W = search_layer(q, ep, ep_d, 0, std::max<uint32_t>(ef, k));
-    std::vector<DistNode> top(W.size());
-    for (int64_t i = int64_t(W.size()) - 1; i >= 0; --i) {
-      top[i] = W.top();
-      W.pop();
-    }
+    const std::vector<DistNode> top = drain_ascending(W);
     for (int i = 0; i < k; ++i) {
       if (i < int(top.size())) {
         out_ids[i] = top[i].second;
@@ -288,6 +290,7 @@ void* nlsh_hnsw_create(int32_t dim, int32_t space, int64_t max_elements,
   auto* h = new HnswIndex();
   h->dim = dim;
   h->space = space;
+  if (M < 2) M = 2;  // mL = 1/ln(M) diverges at M=1
   h->M = uint32_t(M);
   h->M0 = uint32_t(2 * M);
   h->ef_construction = uint32_t(ef_construction);

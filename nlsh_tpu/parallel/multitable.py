@@ -310,6 +310,8 @@ class MultiTableIndexer:
                     "(fingerprint mismatch)"
                 )
             tables = (z["row_ids"], z["starts"], z["counts"])
+            if engine == "pallas-compact":  # retired r3; same layout
+                engine = "pallas-grouped"
             return cls(
                 hashing, stacked_params, corpus, metric=metric,
                 probe_budget=int(probe_budget), mesh=mesh, engine=engine,

@@ -252,6 +252,8 @@ class ShardedIndexer:
                     "(fingerprint mismatch)"
                 )
             tables = (z["row_ids"], z["starts"], z["counts"])
+            if engine == "pallas-compact":  # retired r3; same layout
+                engine = "pallas-grouped"
             return cls(
                 hashing, params, corpus, mesh, metric=metric,
                 probe_budget=int(probe_budget), engine=engine,

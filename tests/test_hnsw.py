@@ -90,6 +90,12 @@ def test_hnsw_label_mapping_and_batches():
 def test_hnsw_trainer_uses_native_backend():
     """HNSWBaseline falls back to the in-repo backend and logs the
     reference's metric channels (hnsw.py:50-63)."""
+    try:
+        import hnswlib  # noqa: F401
+
+        pytest.skip("hnswlib installed: trainer prefers it by design")
+    except ImportError:
+        pass
     from nlsh_tpu.data import SyntheticDataset
     from nlsh_tpu.train.hnsw import HNSWBaseline
     from nlsh_tpu.utils.loggers import JSONLLogger
