@@ -9,11 +9,15 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=benchmarks/artifacts/round3_runs.jsonl
 # headline (3) and the round-2 gap (4) first: if the chip window is
 # short, the highest-stakes numbers are already recorded
-KEYS=${@:-"3 4 1 2 pq exact skew hnsw 5"}
+KEYS=${@:-"3 4 1 2 pq exact skew highrecall hnsw 5"}
 for key in $KEYS; do
   echo "=== config $key $(date +%H:%M:%S) ===" >&2
   if [ "$key" = exact ]; then
     timeout 1500 python benchmarks/baseline_exact.py >> "$OUT" 2> >(tail -5 >&2)
+  elif [ "$key" = highrecall ]; then
+    # the headline index at 32/64/96 probes: matched-recall comparison
+    # points against the HNSW/exact baselines
+    timeout 1500 python benchmarks/highrecall_probe.py >> "$OUT" 2> >(tail -3 >&2)
   elif [ "$key" = hnsw ]; then
     # VERDICT #8: the reference's non-learned yardstick at full scale
     # (in-repo native backend; ~19 min single-core build at 1.18M)

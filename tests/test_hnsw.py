@@ -112,3 +112,30 @@ def test_hnsw_trainer_uses_native_backend():
         assert t.backend == "native"
         recall = t.fit(K=10)
     assert recall > 0.8
+
+
+def test_hnsw_wrapper_guards():
+    """Misuse raises instead of corrupting native state (code-review
+    round 3): pre-init query, dim mismatch, label-count mismatch, and
+    re-init_index resetting the label mapping."""
+    rng = np.random.default_rng(4)
+    corpus = rng.normal(size=(50, 8)).astype(np.float32)
+    idx = native.NativeHNSW(space="l2", dim=8)
+    with pytest.raises(RuntimeError):
+        idx.knn_query(corpus[:1])
+    idx.init_index(max_elements=50, M=4, ef_construction=32)
+    with pytest.raises(ValueError):
+        idx.add_items(corpus[:, :4])  # wrong dim
+    with pytest.raises(ValueError):
+        idx.add_items(corpus[:5], labels=np.arange(3))  # wrong count
+    idx.add_items(corpus, labels=np.arange(100, 150))
+    ids, _, _ = idx.knn_query(corpus[:3], k=1)
+    assert (ids[:, 0] == np.arange(100, 103)).all()
+    # re-init drops the old graph and mapping entirely
+    idx.init_index(max_elements=50, M=4, ef_construction=32)
+    assert idx.get_current_count() == 0
+    idx.add_items(corpus[:10], labels=np.arange(200, 210))
+    ids, _, _ = idx.knn_query(corpus[:3], k=1)
+    assert (ids[:, 0] == np.arange(200, 203)).all()
+    with pytest.raises(ValueError):
+        idx.knn_query(corpus[:2, :5])  # wrong query dim
