@@ -19,6 +19,10 @@ LABELS = {
     "pq_glove100_200k": ("pq", "glove-100-shape 200k, ProductQuantization 12-bit"),
     "baseline_exact_bruteforce_1.18M": (
         "exact", "non-learned baseline: exact MXU brute force, 1.18M"),
+    "baseline_hnsw_native_1CPUcore": (
+        "hnsw", "non-learned baseline: native HNSW (M=10, efC=500), 1 CPU core"),
+    "highrecall_glove100_1.18M": (
+        "3+", "headline index at a higher probe count"),
 }
 
 
@@ -44,11 +48,18 @@ def main(path="benchmarks/artifacts/round3_runs.jsonl"):
                 r = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            key = r.get("config", "?")
+            key = r.get("config")
+            if key is None:
+                continue  # probe rows (perf_probe etc.) are not configs
             # config 5 runs twice (2M then 10M): key by size too
             if key == "5_deepimage96_10M_sharded":
                 n = r.get("n_corpus") or r.get("n_rows")
                 key = f"{key}@{n or len(rows)}"
+            # ef / probe sweeps emit one row per operating point
+            if "ef" in r:
+                key = f"{key}@ef{r['ef']}"
+            if "probes" in r:
+                key = f"{key}@p{r['probes']}"
             rows[key] = r
     for key, r in rows.items():
         cfg = r.get("config", "?")
@@ -59,6 +70,10 @@ def main(path="benchmarks/artifacts/round3_runs.jsonl"):
         notes = []
         if r.get("engine"):
             notes.append(r["engine"])
+        if r.get("ef"):
+            notes.append(f"ef={r['ef']}")
+        if r.get("probes"):
+            notes.append(f"{r['probes']} probes")
         if r.get("train_s"):
             notes.append(f"train {r['train_s']}s")
         if r.get("n_shards"):
