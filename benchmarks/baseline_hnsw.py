@@ -52,15 +52,18 @@ def main():
         n = corpus.shape[0]
         gt, _, gt_s, _ = _load_or_compute_gt(corpus, queries, sub_idx)
     else:
+        # subsampled corpus: brute-force GT on host numpy (BLAS) — no
+        # device touch, so a TPU DOWN window can't hang this CPU-only
+        # baseline run or poison jax's cached backend state
         corpus = corpus[:n]
-        import jax.numpy as jnp
-
-        from nlsh_tpu.ops.knn import knn
-
         t0 = time.perf_counter()
-        _, gt = knn(jnp.asarray(queries), jnp.asarray(corpus), k=10,
-                    metric="cosine", query_tile=1024, corpus_chunk=131_072)
-        gt = np.asarray(gt)
+        gt = np.empty((queries.shape[0], 10), dtype=np.int64)
+        for s in range(0, queries.shape[0], 512):
+            sims = queries[s:s + 512] @ corpus.T  # unit vectors: cosine
+            part = np.argpartition(-sims, 10, axis=1)[:, :10]
+            psims = np.take_along_axis(sims, part, axis=1)
+            gt[s:s + 512] = np.take_along_axis(
+                part, np.argsort(-psims, axis=1), axis=1)
         gt_s = time.perf_counter() - t0
 
     idx = NativeHNSW(space="cosine", dim=corpus.shape[1])

@@ -306,19 +306,18 @@ class Indexer:
         reference's model-only checkpoints).  A 10M-row corpus re-hash
         costs minutes at serving restart; the CSR table is 4 bytes/row.
 
-        The corpus is fingerprinted so :meth:`load` refuses a table
-        built over different data."""
-        import hashlib
+        The corpus is fingerprinted (head + tail + strided sample,
+        :func:`nlsh_tpu.utils.fingerprint.corpus_fingerprint`) so
+        :meth:`load` refuses a table built over different data —
+        including appended/tail-edited corpora a head-only digest
+        would accept."""
+        from nlsh_tpu.utils.fingerprint import corpus_fingerprint
 
         if self._fresh is not None or self._deleted is not None:
             raise ValueError(
                 "pending inserts/deletes: compact() before save() so the "
                 "persisted table reflects every update"
             )
-        head = np.ascontiguousarray(
-            np.asarray(self.corpus[: min(64, self.corpus.shape[0])]),
-            dtype=np.float32,
-        )
         np.savez_compressed(
             path,
             row_ids=np.asarray(self.table.row_ids),
@@ -329,7 +328,7 @@ class Indexer:
                 jnp.dtype(self.serving_dtype).name,
                 str(self.block_rows), self.layout_mode,
                 str(self.corpus.shape[0]), str(self.corpus.shape[1]),
-                hashlib.sha1(head.tobytes()).hexdigest()[:16],
+                corpus_fingerprint(self.corpus),
             ]),
         )
 
@@ -338,9 +337,8 @@ class Indexer:
         """Rebuild an :class:`Indexer` from :meth:`save` output without
         re-hashing the corpus.  Raises if ``corpus`` does not match the
         fingerprint the table was built over."""
-        import hashlib
-
         from nlsh_tpu.index.bucket_table import BucketTable
+        from nlsh_tpu.utils.fingerprint import corpus_fingerprint
 
         with np.load(path, allow_pickle=False) as z:
             meta = [str(v) for v in z["meta"]]
@@ -351,11 +349,7 @@ class Indexer:
                     f"saved index is over a {n_rows}x{dim} corpus, "
                     f"got {tuple(corpus.shape)}"
                 )
-            head = np.ascontiguousarray(
-                np.asarray(corpus[: min(64, corpus.shape[0])]),
-                dtype=np.float32,
-            )
-            if hashlib.sha1(head.tobytes()).hexdigest()[:16] != digest:
+            if corpus_fingerprint(corpus) != digest:
                 raise ValueError(
                     "saved index was built over a different corpus "
                     "(fingerprint mismatch)"

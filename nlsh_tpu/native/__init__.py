@@ -239,9 +239,10 @@ class NativeHNSW:
     hnswlib API the baseline trainer uses (reference
     ``nlsh/trainers/hnsw.py:28-63``): ``init_index`` / ``add_items`` /
     ``set_ef`` / ``knn_query``.  ``knn_query`` returns
-    ``(ids, dists, counts)`` — per-query scored-node counts, the
-    ``query_size`` channel the reference could only get from an
-    hnswlib fork (``hnsw.py:52``).
+    ``(ids, dists, counts)`` — per-query DISTANCE-EVALUATION counts
+    (upper-layer descent re-evaluations included; see ``hnsw.cpp``
+    ``visit_count``), the ``query_size`` channel the reference could
+    only get from an hnswlib fork (``hnsw.py:52``).
 
     Labels: external int labels are mapped through an internal dense
     id space (insert order), like hnswlib's label lookup."""
@@ -265,10 +266,15 @@ class NativeHNSW:
             lib.nlsh_hnsw_free(self._h)
             self._h = None
             self._n = 0
+        self.ef = 10  # hnswlib parity: init_index resets to the default ef
         self._h = lib.nlsh_hnsw_create(
             self.dim, 0 if self.space == "cosine" else 1,
             int(max_elements), int(M), int(ef_construction), int(seed),
         )
+        if self._h is None:  # C side rejects capacities the uint32 ids can't hold
+            raise ValueError(
+                f"max_elements must be in [1, 2**32 - 1), got {max_elements}"
+            )
         self._labels = np.empty(int(max_elements), dtype=np.int64)
 
     def set_ef(self, ef: int):

@@ -55,7 +55,13 @@ struct HnswIndex {
   // search scratch: epoch-tagged visited set (single-threaded)
   std::vector<uint32_t> visited;
   uint32_t epoch = 0;
-  uint64_t visit_count = 0;  // nodes scored since last reset
+  // DISTANCE EVALUATIONS since last reset — not unique nodes: the
+  // upper-layer greedy descent in search() does not consult the epoch
+  // set, so a node it scored can be rescored by the layer-0
+  // search_layer and counted twice.  Upper layers hold ~n/M of the
+  // nodes, so the overcount is a small fraction of ef; the channel is
+  // the work analogue of the learned index's candidate count.
+  uint64_t visit_count = 0;
 
   std::mt19937_64 rng;
 
@@ -287,6 +293,9 @@ extern "C" {
 
 void* nlsh_hnsw_create(int32_t dim, int32_t space, int64_t max_elements,
                        int32_t M, int32_t ef_construction, uint64_t seed) {
+  // node ids are uint32 throughout (insert(), adjacency slots): a
+  // larger capacity would silently wrap ids and corrupt the graph
+  if (max_elements <= 0 || max_elements >= int64_t(UINT32_MAX)) return nullptr;
   auto* h = new HnswIndex();
   h->dim = dim;
   h->space = space;

@@ -262,11 +262,8 @@ class MultiTableIndexer:
         """Persist the L stacked CSR tables + serving knobs (NOT the
         corpus or stacked params — the caller owns those).  Restarting
         an L=8 ensemble re-hashes the corpus 8 times otherwise."""
-        import hashlib
+        from nlsh_tpu.utils.fingerprint import corpus_fingerprint
 
-        head = np.ascontiguousarray(
-            np.asarray(self.corpus[: min(64, self.corpus.shape[0])]),
-            dtype=np.float32)
         np.savez_compressed(
             path,
             row_ids=np.asarray(self.row_ids),
@@ -277,7 +274,7 @@ class MultiTableIndexer:
                 jnp.dtype(self.serving_dtype).name,
                 str(self.block_rows), str(self.n_tables),
                 str(self.corpus.shape[0]),
-                hashlib.sha1(head.tobytes()).hexdigest()[:16],
+                corpus_fingerprint(self.corpus),
             ]),
         )
 
@@ -285,8 +282,10 @@ class MultiTableIndexer:
     def load(cls, path: str, hashing, stacked_params, corpus,
              mesh: Mesh | None = None) -> "MultiTableIndexer":
         """Rebuild from :meth:`save` output without re-hashing; refuses
-        a different corpus, table count, or incompatible mesh."""
-        import hashlib
+        a different corpus, table count, or incompatible mesh.  The
+        fingerprint samples head + tail + strided middle rows
+        (:func:`nlsh_tpu.utils.fingerprint.corpus_fingerprint`)."""
+        from nlsh_tpu.utils.fingerprint import corpus_fingerprint
 
         with np.load(path, allow_pickle=False) as z:
             (metric, probe_budget, engine, sdtype, block_rows,
@@ -301,10 +300,7 @@ class MultiTableIndexer:
                     f"saved index is over {n_rows} corpus rows, got "
                     f"{corpus.shape[0]}"
                 )
-            head = np.ascontiguousarray(
-                np.asarray(corpus[: min(64, corpus.shape[0])]),
-                dtype=np.float32)
-            if hashlib.sha1(head.tobytes()).hexdigest()[:16] != digest:
+            if corpus_fingerprint(corpus) != digest:
                 raise ValueError(
                     "saved index was built over a different corpus "
                     "(fingerprint mismatch)"

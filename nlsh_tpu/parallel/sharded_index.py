@@ -202,12 +202,10 @@ class ShardedIndexer:
         """Persist the per-shard CSR tables + serving knobs (NOT the
         corpus/params).  At 10M rows the hash + CSR build is minutes of
         restart time for state deterministic in (params, corpus)."""
-        import hashlib
+        from nlsh_tpu.utils.fingerprint import corpus_fingerprint
 
         src = self._corpus_host if self._corpus_host is not None \
             else self.corpus
-        head = np.ascontiguousarray(
-            np.asarray(src[: min(64, self.n_real)]), dtype=np.float32)
         np.savez_compressed(
             path,
             row_ids=np.asarray(self.row_ids),
@@ -218,7 +216,7 @@ class ShardedIndexer:
                 jnp.dtype(self.serving_dtype).name,
                 str(self.block_rows), self.layout_mode,
                 str(int(self.mesh.devices.size)), str(self.n_real),
-                hashlib.sha1(head.tobytes()).hexdigest()[:16],
+                corpus_fingerprint(src, n_real=self.n_real),
             ]),
         )
 
@@ -227,8 +225,10 @@ class ShardedIndexer:
              ) -> "ShardedIndexer":
         """Rebuild from :meth:`save` output without re-hashing.  The
         mesh must have the shard count the tables were built for, and
-        the corpus must match the saved fingerprint."""
-        import hashlib
+        the corpus must match the saved fingerprint (head + tail +
+        strided sample; a head-only digest accepted appended/tail-edited
+        corpora)."""
+        from nlsh_tpu.utils.fingerprint import corpus_fingerprint
 
         with np.load(path, allow_pickle=False) as z:
             (metric, probe_budget, engine, sdtype, block_rows,
@@ -243,10 +243,7 @@ class ShardedIndexer:
                     f"saved index is over {n_real} corpus rows, got "
                     f"{corpus.shape[0]}"
                 )
-            head = np.ascontiguousarray(
-                np.asarray(corpus[: min(64, corpus.shape[0])]),
-                dtype=np.float32)
-            if hashlib.sha1(head.tobytes()).hexdigest()[:16] != digest:
+            if corpus_fingerprint(corpus, n_real=int(n_real)) != digest:
                 raise ValueError(
                     "saved index was built over a different corpus "
                     "(fingerprint mismatch)"

@@ -420,6 +420,11 @@ def test_multitable_save_load_roundtrip(data, tmp_path):
     other = jnp.asarray(rng.normal(size=corpus.shape).astype(np.float32))
     with pytest.raises(ValueError, match="different corpus"):
         MultiTableIndexer.load(path, hashing, stacked, other)
+    tail_edited = np.asarray(corpus).copy()
+    tail_edited[-1, 0] += 1.0  # same shape: only the strided digest sees it
+    with pytest.raises(ValueError, match="different corpus"):
+        MultiTableIndexer.load(path, hashing, stacked,
+                               jnp.asarray(tail_edited))
 
 
 def test_sharded_save_load_roundtrip(data, tmp_path):
@@ -453,6 +458,13 @@ def test_sharded_save_load_roundtrip(data, tmp_path):
         rng.normal(size=corpus.shape).astype(np.float32))
     with pytest.raises(ValueError, match="different corpus"):
         ShardedIndexer.load(path, hashing, params, other, mesh)
+    # SAME-shape tail edit: caught only by the head+tail+strided
+    # fingerprint (a head-only digest silently served wrong ids, r3)
+    tail_edited = np.asarray(corpus).copy()
+    tail_edited[-1, 0] += 1.0
+    with pytest.raises(ValueError, match="different corpus"):
+        ShardedIndexer.load(path, hashing, params,
+                            jnp.asarray(tail_edited), mesh)
 
 
 def test_multitable_windowed_sync_bound_matches_xla(data, monkeypatch):

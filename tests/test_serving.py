@@ -557,6 +557,21 @@ def test_indexer_save_load_roundtrip(tmp_path):
         Indexer.load(path, hashing, params, other)
     with pytest.raises(ValueError, match="corpus"):
         Indexer.load(path, hashing, params, corpus[: n - 1])
+    # appended rows change the shape -> rejected
+    appended = jnp.concatenate([corpus, corpus[:3]])
+    with pytest.raises(ValueError, match="corpus"):
+        Indexer.load(path, hashing, params, appended)
+    # SAME-shape tail edit: only the head+tail+strided fingerprint
+    # catches this (a head-only digest served wrong ids here, r3 weak #4)
+    tail_edited = np.asarray(corpus).copy()
+    tail_edited[-1, 0] += 1.0
+    with pytest.raises(ValueError, match="different corpus"):
+        Indexer.load(path, hashing, params, jnp.asarray(tail_edited))
+    # same-shape middle edit on a strided-sample row
+    mid_edited = np.asarray(corpus).copy()
+    mid_edited[n // 2, 0] += 1.0
+    with pytest.raises(ValueError, match="different corpus"):
+        Indexer.load(path, hashing, params, jnp.asarray(mid_edited))
 
 
 @pytest.mark.parametrize("engine", ["xla", "pallas-grouped"])
