@@ -69,6 +69,7 @@ def main():
                   serving_dtype=jnp.float32, engine="pallas-grouped")
     idx.probe_budget = int(cap)
 
+    last_recall = 0.0
     for probes in (HASH_TIMES, 32, 64, 96):
         t0 = time.perf_counter()
         top, n_cand = idx.query(queries, k=K, hash_times=probes,
@@ -80,16 +81,26 @@ def main():
         call_s = time.perf_counter() - t0
         qps = _one_dispatch_qps(idx, queries, k=K, hash_times=probes,
                                 key=qkey, probe_mode="flip")
+        recall = float(calculate_recall(gt, top, np.mean))
         print(json.dumps({
             "config": "highrecall_glove100_1.18M",
             "probes": probes,
             "engine": "pallas-grouped",
-            "recall_at_10": round(
-                float(calculate_recall(gt, top, np.mean)), 4),
+            "recall_at_10": round(recall, 4),
             "query_size": round(float(np.mean(n_cand)), 1),
             "qps": qps,
             "qps_unpipelined": round(queries.shape[0] / call_s, 1),
         }), flush=True)
+        # flip probes at n are a strict superset of n' < n: recall MUST
+        # be non-decreasing.  The round-4 2-D-gather miscompile (see
+        # serving.py) showed as 0.907 -> 0.355 here — fail loudly.
+        if recall < last_recall - 0.005:
+            raise AssertionError(
+                f"recall fell {last_recall:.4f} -> {recall:.4f} at "
+                f"{probes} probes: superset probing cannot lose recall; "
+                "suspect an engine miscompile at this batch shape"
+            )
+        last_recall = recall
 
 
 if __name__ == "__main__":

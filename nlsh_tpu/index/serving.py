@@ -186,8 +186,15 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     ev_row3 = ev_row.reshape(nq, n_probes * max_blocks)
     ev_valid2 = ev_valid.reshape(nq, n_probes * max_blocks)
     safe_rows = jnp.clip(ev_row3, 0, g_total * group_q - 1)
-    ev_top = row_top[safe_rows]      # (nq, maxBQ, kk)
-    ev_lane = row_lane[safe_rows]
+    # 1-D flattened gather, NOT row_top[safe_rows]: on this TPU backend
+    # the 2-D row gather from a (g_total*G, kk) table (minor dim kk
+    # padded to 128 lanes) SILENTLY reads wrong rows once the table
+    # passes ~800k rows (found round 4: recall 0.95 -> 0.35 at 10k
+    # queries x 96 probes, compilation-dependent).  1-D tables have a
+    # linear layout and gather correctly at every measured size.
+    fidx = safe_rows[:, :, None] * kk + jnp.arange(kk, dtype=jnp.int32)
+    ev_top = row_top.reshape(-1)[fidx]   # (nq, maxBQ, kk)
+    ev_lane = row_lane.reshape(-1)[fidx]
     ev_top = jnp.where(ev_valid2[:, :, None], ev_top, -jnp.inf)
 
     flat_top = ev_top.reshape(nq, -1)
@@ -336,8 +343,12 @@ def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     ev_row3 = ev_row.reshape(nq, n_probes * max_sub)
     ev_valid2 = ev_valid.reshape(nq, n_probes * max_sub)
     safe_rows = jnp.clip(ev_row3, 0, g_total * group_q - 1)
-    ev_top = row_top[safe_rows]      # (nq, maxPJ, kk)
-    ev_lane = row_lane[safe_rows]
+    # 1-D flattened gather (see the grouped path): the 2-D row gather
+    # from a big lane-padded (rows, kk) table miscompiles on this TPU
+    # backend past ~800k rows
+    fidx = safe_rows[:, :, None] * kk + jnp.arange(kk, dtype=jnp.int32)
+    ev_top = row_top.reshape(-1)[fidx]   # (nq, maxPJ, kk)
+    ev_lane = row_lane.reshape(-1)[fidx]
     ev_top = jnp.where(ev_valid2[:, :, None], ev_top, -jnp.inf)
 
     flat_top = ev_top.reshape(nq, -1)
