@@ -63,8 +63,12 @@ PARITY_DEADLINE_S = float(os.environ.get("NLSH_BENCH_PARITY_DEADLINE", 420))
 # stop starting new (engine, dtype) sweep entries past this point: the
 # FIRST entry is the headline operating point, the rest are comparison
 # rows — under a degraded remote-compile window (13-155 s per program)
-# they must never push the headline past the driver's ~8-min budget
-SWEEP_DEADLINE_S = float(os.environ.get("NLSH_BENCH_SWEEP_DEADLINE", 300))
+# they must never push the headline past the driver's ~8-min budget.
+# Round 4: sweep compiles are PRE-WARMED on background threads (the
+# remote compile helper is an HTTP service — compiles overlap each
+# other and the device-bound timing loops), so the deadline now guards
+# only a fully degraded compile window instead of firing every run.
+SWEEP_DEADLINE_S = float(os.environ.get("NLSH_BENCH_SWEEP_DEADLINE", 390))
 
 CACHE_DIR = os.environ.get("NLSH_BENCH_CACHE_DIR", "/tmp/nlsh_bench_cache")
 # /tmp does not survive machine resets (observed round 3): small
@@ -278,6 +282,45 @@ def _engine_parity(corpus_np, queries_np, hashing, params):
     return out, ok
 
 
+class _Prewarmer:
+    """AOT-compiles jitted programs on background threads.
+
+    Every distinct (engine, dtype) sweep program costs a remote compile
+    (13-155 s observed for the SAME program); serially they starved the
+    sweep out of round 3's driver run (`BENCH_r03` has one entry).  The
+    compile helper is an HTTP service, so compiles overlap each other
+    AND the device-bound timing loops — total compile wall-clock drops
+    from the sum to roughly the max.  ``get`` returns the compiled
+    executable (waiting if needed) or None on failure, in which case the
+    caller falls back to the plain jitted call (inline compile)."""
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=4)
+        self._futs = {}
+
+    def submit(self, key, jitted, *args, **kwargs):
+        if key in self._futs:
+            return
+
+        def work():
+            return jitted.lower(*args, **kwargs).compile()
+
+        self._futs[key] = self._pool.submit(work)
+
+    def get(self, key, timeout=None):
+        fut = self._futs.get(key)
+        if fut is None:
+            return None
+        try:
+            return fut.result(timeout=timeout)
+        except Exception as e:  # fall back to inline compile
+            print(f"prewarm {key} failed: {e!r}", file=sys.stderr,
+                  flush=True)
+            return None
+
+
 def _wait_for_backend(deadline_s: float) -> None:
     """The TPU tunnel has observed multi-minute DOWN windows (backend
     init itself raises UNAVAILABLE).  Probe it in a SUBPROCESS — an
@@ -377,67 +420,108 @@ def main():
     qkey = jax.random.PRNGKey(SEED + 1)
     mean_bucket = N_CORPUS / hashing.n_buckets
     cap = 1 << int(np.ceil(np.log2(1.2 * mean_bucket)))
+    indexer.probe_budget = int(cap)
     # sweep (engine, layout dtype): with exact (precision-highest) GT,
     # the bf16 layout's storage rounding costs real recall on near-tied
     # neighbours while the engines are group-overhead-bound (f32 bytes
     # are ~free) — let the recall-constrained pick decide per run
     sweep = []
+    from nlsh_tpu.index.indexer import _fused_serve, _fused_serve_batched
 
-    def _measure_entry(engine, sdtype):
+    # one cap-aligned layout per dtype (cap == block_rows, so the SAME
+    # f32 layout serves grouped, fixed-cap AND windowed); every sweep
+    # program starts compiling NOW on background threads
+    prew = _Prewarmer()
+    indexer.serving_dtype = jnp.float32
+    lay_f32 = indexer.layout
+    jax.block_until_ready(lay_f32.data)
+
+    # (engine label, _fused_serve literal, dtype, layout)
+    entries = [
+        ("pallas-grouped", "grouped", jnp.float32, lay_f32),
+        ("pallas-grouped", "grouped", jnp.bfloat16, None),  # layout below
+        ("pallas", "fixed", jnp.float32, lay_f32),
+        ("pallas-windowed", "windowed", jnp.float32, lay_f32),
+    ]
+
+    def _submit(name, serve, sdtype, lay):
+        dt = jnp.dtype(sdtype).name
+        prew.submit(("b", name, dt), _fused_serve_batched,
+                    hashing, params, lay, indexer.table.counts, queries,
+                    qkey, k=K, hash_times=HASH_TIMES, probe_mode="flip",
+                    grouped=serve, repeats=PIPELINE_DEPTH)
+        prew.submit(("s", name, dt), _fused_serve,
+                    hashing, params, lay, indexer.table.counts, queries,
+                    qkey, k=K, hash_times=HASH_TIMES, probe_mode="flip",
+                    grouped=serve)
+
+    for name, serve, sdtype, lay in entries:
+        if lay is not None:
+            _submit(name, serve, sdtype, lay)
+    indexer.serving_dtype = jnp.bfloat16
+    lay_bf16 = indexer.layout  # build AFTER the f32 compiles are in flight
+    jax.block_until_ready(lay_bf16.data)
+    entries[1] = ("pallas-grouped", "grouped", jnp.bfloat16, lay_bf16)
+    _submit(*entries[1])
+    indexer.serving_dtype = jnp.float32
+
+    def _measure_entry(name, serve, sdtype, lay, wait_s):
         try:
-            indexer.engine = engine
-            indexer.serving_dtype = sdtype
-            indexer.probe_budget = int(cap)
-            # layout rebuild at this (engine, dtype, cap) is automatic:
-            # Indexer.layout compares its knob signature on every access
-            top, n_cand = indexer.query(queries, k=K, hash_times=HASH_TIMES,
-                                        key=qkey, probe_mode="flip")  # warm
+            dt = jnp.dtype(sdtype).name
+            cb = prew.get(("b", name, dt), timeout=wait_s)
+            cs = prew.get(("s", name, dt), timeout=60)
+            if cb is not None:
+                batched = lambda: cb(  # noqa: E731
+                    params, lay, indexer.table.counts, queries, qkey)
+            else:  # inline compile fallback
+                batched = lambda: _fused_serve_batched(  # noqa: E731
+                    hashing, params, lay, indexer.table.counts, queries,
+                    qkey, k=K, hash_times=HASH_TIMES, probe_mode="flip",
+                    grouped=serve, repeats=PIPELINE_DEPTH)
+            if cs is not None:
+                single = lambda: cs(  # noqa: E731
+                    params, lay, indexer.table.counts, queries, qkey)
+            else:
+                single = lambda: _fused_serve(  # noqa: E731
+                    hashing, params, lay, indexer.table.counts, queries,
+                    qkey, k=K, hash_times=HASH_TIMES, probe_mode="flip",
+                    grouped=serve)
             # throughput timing: PIPELINE_DEPTH full serving batches run
             # inside ONE compiled program (lax.map), so one dispatch +
             # one fetch amortise the relay's per-call cost (5 ms
-            # healthy, >40 ms degraded) over R*10k queries — round-2's
-            # R async dispatches still paid R relay round-trips, which
-            # owned the number whenever a degraded window lasted the
-            # whole run.  The per-call number (1 dispatch per 10k
-            # queries, fetch every call) is reported alongside as
-            # qps_unpipelined — the latency-bound floor.
-            from nlsh_tpu.index.indexer import _fused_serve_batched
-            grouped = engine == "pallas-grouped"
+            # healthy, >40 ms degraded) over R*10k queries.  The
+            # per-call number (1 dispatch per 10k queries, fetch every
+            # call) is reported alongside as qps_unpipelined — the
+            # latency-bound floor.
+            np.asarray(batched())  # warm (compile already prewarmed)
+            packed = np.asarray(single())
+            top, n_cand = packed[:, :-1], packed[:, -1]
             times, times1 = [], []
-            batched = lambda: _fused_serve_batched(  # noqa: E731
-                indexer.hashing, indexer.params, indexer.layout,
-                indexer.table.counts, queries, qkey, k=K,
-                hash_times=HASH_TIMES, probe_mode="flip",
-                grouped=grouped, repeats=PIPELINE_DEPTH,
-            )
-            np.asarray(batched())  # compile + warm
             for _ in range(REPS):
                 t0 = time.perf_counter()
                 np.asarray(batched())
                 times.append((time.perf_counter() - t0) / PIPELINE_DEPTH)
                 t0 = time.perf_counter()
-                top, n_cand = indexer.query(
-                    queries, k=K, hash_times=HASH_TIMES, key=qkey,
-                    probe_mode="flip")
+                np.asarray(single())
                 times1.append(time.perf_counter() - t0)
             sweep.append({
-                "engine": engine,
-                "dtype": jnp.dtype(sdtype).name,
-                "cap": int(indexer.layout.cap),
+                "engine": name,
+                "dtype": dt,
+                "cap": int(lay.cap),
                 "qps": N_QUERIES / min(times),
                 "qps_unpipelined": N_QUERIES / min(times1),
                 "recall": float(calculate_recall(gt, top, np.mean)),
                 "query_size": float(np.mean(n_cand)),
             })
         except Exception as e:  # never lose the bench line to one engine
-            print(f"{engine} skipped: {e!r}", file=sys.stderr, flush=True)
+            print(f"{name}/{jnp.dtype(sdtype).name} skipped: {e!r}",
+                  file=sys.stderr, flush=True)
 
     # headline operating point FIRST (grouped f32 won every round-3
-    # measurement), then the engine-parity smoke (round-2 VERDICT #2 —
-    # it must not be the thing a degraded compile window squeezes out,
-    # which is exactly what happened when it ran after the full sweep),
-    # then the comparison rows under the sweep deadline.
-    _measure_entry("pallas-grouped", jnp.float32)
+    # measurement), then the engine-parity smoke (round-2 VERDICT #2),
+    # then the comparison rows under the sweep deadline (their compiles
+    # have been cooking in the background the whole time).
+    _measure_entry(*entries[0], wait_s=300)
 
     parity: dict | None = None
     parity_ok = None
@@ -455,14 +539,14 @@ def main():
               f"(deadline {PARITY_DEADLINE_S:.0f}s)",
               file=sys.stderr, flush=True)
 
-    for engine, sdtype in (("pallas-grouped", jnp.bfloat16),
-                           ("pallas", jnp.float32)):
-        if time.perf_counter() - t_start > SWEEP_DEADLINE_S:
+    for entry in entries[1:]:
+        remaining = SWEEP_DEADLINE_S - (time.perf_counter() - t_start)
+        if remaining <= 0:
             print(f"sweep truncated after {len(sweep)} entries "
                   f"(deadline {SWEEP_DEADLINE_S:.0f}s)",
                   file=sys.stderr, flush=True)
             break
-        _measure_entry(engine, sdtype)
+        _measure_entry(*entry, wait_s=max(remaining - 30, 10))
 
     if not sweep:
         # both Pallas engines failed: fall back to the XLA gather path

@@ -56,6 +56,13 @@ def nlsh_serve_argparse() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, default=None,
                    help="write topk ids + n_candidates as .npz")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--loop", action="store_true",
+                   help="persistent serving loop: read JSONL requests "
+                        "{'id': ..., 'queries': [[...], ...]} from stdin, "
+                        "stream one JSON answer per request to stdout "
+                        "(pipelined via query_async; batches padded to "
+                        "powers of two so compile count stays "
+                        "logarithmic), exit on EOF with a stats line")
     return p
 
 
@@ -107,6 +114,92 @@ def _build_indexer(args, hashing, params, corpus, n_tables):
     return idx
 
 
+def serve_loop(args, idx, key, extra, dim,
+               stdin=None, stdout=None) -> dict:
+    """Persistent query loop (round-3 VERDICT #8): one JSONL request per
+    line on ``stdin``, one JSON answer per request on ``stdout``.
+
+    Requests: ``{"id": <any>, "queries": [[f32 x dim], ...]}``.
+    Answers: ``{"id", "topk_ids", "n_candidates", "latency_ms"}`` in
+    request order.  Dispatch is pipelined through ``query_async`` (up to
+    ``--pipeline`` batches in flight, so device work overlaps stdin
+    parsing and response writes); query batches are padded to the next
+    power of two (min 8) so a shape-diverse request stream compiles
+    O(log max_batch) programs, not one per size.  EOF flushes pending
+    work and emits a final ``{"stats": ...}`` line with latency
+    percentiles — the per-batch channels a serving deployment watches.
+    """
+    import sys
+
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    pending = []  # (request id, t_received, n_real, async result)
+    latencies = []
+    n_queries = 0
+    t_start = time.perf_counter()
+
+    def _emit(entry):
+        rid, t_recv, n_real, res = entry
+        top, n_cand = idx.fetch(res)
+        ms = (time.perf_counter() - t_recv) * 1000
+        latencies.append(ms)
+        json.dump({
+            "id": rid,
+            "topk_ids": top[:n_real].tolist(),
+            "n_candidates": n_cand[:n_real].astype(int).tolist(),
+            "latency_ms": round(ms, 2),
+        }, stdout)
+        stdout.write("\n")
+        stdout.flush()
+
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            q = np.asarray(req["queries"], np.float32)
+            if q.ndim != 2 or q.shape[1] != dim:
+                raise ValueError(f"expected (n, {dim}) queries, "
+                                 f"got {q.shape}")
+        except Exception as e:
+            json.dump({"error": repr(e)}, stdout)
+            stdout.write("\n")
+            stdout.flush()
+            continue
+        n_real = q.shape[0]
+        padded = 1 << max((n_real - 1).bit_length(), 3)
+        if padded > n_real:
+            q = np.pad(q, ((0, padded - n_real), (0, 0)))
+        n_queries += n_real
+        res = idx.query_async(jnp.asarray(q), k=args.k,
+                              hash_times=args.hash_times, key=key, **extra)
+        pending.append((req.get("id"), time.perf_counter(), n_real, res))
+        while len(pending) > args.pipeline:
+            _emit(pending.pop(0))
+    while pending:
+        _emit(pending.pop(0))
+
+    wall = time.perf_counter() - t_start
+    lat = np.asarray(latencies) if latencies else np.zeros((1,))
+    stats = {
+        "stats": {
+            "batches": len(latencies),
+            "n_queries": n_queries,
+            "wall_s": round(wall, 3),
+            "qps": round(n_queries / wall, 1) if wall > 0 else 0.0,
+            "latency_ms_p50": round(float(np.percentile(lat, 50)), 2),
+            "latency_ms_p95": round(float(np.percentile(lat, 95)), 2),
+            "latency_ms_max": round(float(lat.max()), 2),
+            "engine": idx.engine,
+        }
+    }
+    json.dump(stats, stdout)
+    stdout.write("\n")
+    stdout.flush()
+    return stats["stats"]
+
+
 def main(argv: list[str] | None = None) -> dict:
     args = nlsh_serve_argparse().parse_args(argv)
     hashing, params = load_model(args.model_path)
@@ -132,6 +225,8 @@ def main(argv: list[str] | None = None) -> dict:
     build_s = time.perf_counter() - t0
 
     key = jax.random.PRNGKey(args.seed)
+    if args.loop:
+        return serve_loop(args, idx, key, extra, corpus.shape[1])
     queries = jnp.asarray(queries_np)
     nq = queries.shape[0]
     bs = args.batch or nq

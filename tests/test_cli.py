@@ -163,6 +163,54 @@ def test_serve_cli_build_save_load(tmp_path, capsys):
         np.testing.assert_array_equal(a["n_candidates"], b["n_candidates"])
 
 
+def test_serve_cli_loop_mode(tmp_path, monkeypatch, capsys):
+    """--loop: a running serve process answers a stream of JSONL
+    request batches in order (round-3 VERDICT #8).  Queries are corpus
+    rows, so exact rerank must return each row itself at rank 1."""
+    import io
+
+    from nlsh_tpu.cli.serve import main as serve_main
+    from nlsh_tpu.data import get_data_by_id
+    from nlsh_tpu.utils.checkpoint import save_model
+
+    hashing = MultivariateBernoulli(MLPEncoder(32, (16,)), 4)
+    params = hashing.init(jax.random.PRNGKey(0))
+    base = str(tmp_path / "model_loop")
+    save_model(base, hashing, params)
+
+    data = get_data_by_id("synthetic").load()
+    corpus = np.asarray(data.training)
+    reqs = [
+        {"id": "a", "queries": corpus[:5].tolist()},   # padded to 8
+        {"id": "b", "queries": corpus[5:21].tolist()},  # exactly 16
+        {"id": "c", "queries": corpus[21:30].tolist()},  # padded to 16
+        {"bad": "request"},                             # error line
+    ]
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        "".join(json.dumps(r) + "\n" for r in reqs)))
+    stats = serve_main([
+        "--model_path", base, "--data_id", "synthetic", "-k", "3",
+        "--hash_times", "2", "--loop", "--pipeline", "2",
+    ])
+    assert stats["batches"] == 3 and stats["n_queries"] == 30
+    assert stats["latency_ms_p95"] >= stats["latency_ms_p50"] > 0
+
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    answers = [l for l in lines if "topk_ids" in l]
+    errors = [l for l in lines if "error" in l]
+    assert [a["id"] for a in answers] == ["a", "b", "c"]  # request order
+    assert len(errors) == 1
+    assert lines[-1]["stats"]["n_queries"] == 30
+    starts = [0, 5, 21]
+    for a, s in zip(answers, starts):
+        ids = np.asarray(a["topk_ids"])
+        n = len(a["n_candidates"])
+        assert ids.shape == (n, 3)
+        # exact rerank: each corpus-row query retrieves itself first
+        np.testing.assert_array_equal(ids[:, 0], np.arange(s, s + n))
+
+
 def test_serve_cli_multitable_artifact(tmp_path):
     """A stacked (n_tables) artifact routes to MultiTableIndexer."""
     from nlsh_tpu.cli.serve import main as serve_main
