@@ -26,8 +26,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TRAIN_SUBSET = 524_288
-MAX_STEPS = 6000
+# round 4 (VERDICT #7): default is the FULL 1.18M corpus — the fit the
+# reference's 100-epoch loop implies.  The 1.18M self-kNN is a ~9-min
+# MXU pass; NLSH_TRAIN_FULL_N=524288 reproduces the round-3 subset run.
+TRAIN_SUBSET = int(os.environ.get("NLSH_TRAIN_FULL_N", 1_183_514))
+MAX_STEPS = int(os.environ.get("NLSH_TRAIN_FULL_STEPS", 6000))
 EVAL_EVERY = 1000
 BATCH = 2048
 HASH_TIMES = 16
@@ -73,28 +76,37 @@ def main():
     gt = np.asarray(jax.block_until_ready(gt))
     gt_s = time.perf_counter() - t0
 
-    sub_idx = rng.choice(bench.N_CORPUS, TRAIN_SUBSET, replace=False)
-    subset = corpus_np[sub_idx]
+    full = TRAIN_SUBSET >= bench.N_CORPUS
+    if full:
+        subset = corpus_np
+    else:
+        sub_idx = rng.choice(bench.N_CORPUS, TRAIN_SUBSET, replace=False)
+        subset = corpus_np[sub_idx]
     t0 = time.perf_counter()
     sub_knn = np.asarray(self_knn(jnp.asarray(subset), k=20, metric="cosine",
                                   query_tile=1024, corpus_chunk=131_072))
     knn_s = time.perf_counter() - t0
-    print(f"# gt {gt_s:.0f}s, subset self-knn {knn_s:.0f}s", file=sys.stderr,
-          flush=True)
+    print(f"# gt {gt_s:.0f}s, self-knn({subset.shape[0]}) {knn_s:.0f}s",
+          file=sys.stderr, flush=True)
 
     # during-training evals index the training subset, so their GT must
     # be vs the SUBSET corpus (a consistent recall curve); the final
     # measurement below uses the full-corpus GT.  XLA eval engine skips
     # the per-eval serving-layout rebuild (layout only matters for QPS).
-    _, sub_gt = knn(jnp.asarray(queries_np[:2000]), jnp.asarray(subset),
-                    k=bench.K, metric="cosine",
-                    query_tile=1024, corpus_chunk=131_072)
-    sub_gt = np.asarray(sub_gt)
+    if full:
+        sub_gt = gt[:2000]  # training corpus == full corpus
+    else:
+        _, sub_gt = knn(jnp.asarray(queries_np[:2000]), jnp.asarray(subset),
+                        k=bench.K, metric="cosine",
+                        query_tile=1024, corpus_chunk=131_072)
+        sub_gt = np.asarray(sub_gt)
     data = _Data(subset, queries_np[:2000], sub_gt, sub_knn, "cosine")
     art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "artifacts")
-    logger = JSONLLogger(os.path.join(art_dir, "train_full_glove100.jsonl"),
-                         run_name="train_full_glove100")
+    run_name = ("train_full_glove100_1.18M" if full
+                else "train_full_glove100")
+    logger = JSONLLogger(os.path.join(art_dir, f"{run_name}.jsonl"),
+                         run_name=run_name)
     logger.meta({"corpus": bench.N_CORPUS, "train_subset": TRAIN_SUBSET,
                  "max_steps": MAX_STEPS, "batch": BATCH,
                  "hash_times": HASH_TIMES, "probe_mode": "flip",
@@ -121,7 +133,7 @@ def main():
     import re
 
     best_recall, best_path = -1.0, None
-    for p in glob.glob("/tmp/train_full_glove100_*.json"):
+    for p in glob.glob(f"/tmp/{run_name}_*.json"):
         m = re.search(r"_(\d+)_([0-9.]+)\.json$", p)
         if m and float(m.group(2)) > best_recall:
             best_recall, best_path = float(m.group(2)), p[: -len(".json")]
@@ -156,7 +168,8 @@ def main():
     logger.close()
 
     print(json.dumps({
-        "run": "train_full_glove100",
+        "run": run_name,
+        "n_train": int(subset.shape[0]),
         "steps": int(state.step),
         "train_s": round(train_s, 1),
         "final_recall_at_10": round(recall, 4),
@@ -164,7 +177,7 @@ def main():
         "final_qps": round(queries.shape[0] / query_s, 1),
         "build_s": round(build_s, 1),
         "total_s": round(time.perf_counter() - t_start, 1),
-        "artifact": "benchmarks/artifacts/train_full_glove100.jsonl",
+        "artifact": f"benchmarks/artifacts/{run_name}.jsonl",
         "model": "/tmp/nlsh_full_model",
     }))
 
