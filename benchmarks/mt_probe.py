@@ -136,11 +136,12 @@ def main():
         grp_window, grp_qvecs, grp_lo, grp_hi = pr[0], pr[1], pr[2], pr[3]
 
         def kern():
+            # r4: returns ONE packed (g, G, PACK_W) panel (scores+lanes)
             return _windowed_scores_topk(
                 layout.data, layout.norms, grp_qvecs, grp_window, grp_lo,
                 grp_hi, has_norms=layout.norms is not None, interpret=False,
                 kk=K, block_rows=br,
-            )[0]
+            )
 
         out[f"kernel_{name}_ms"] = round(timeit(kern) * 1e3, 1)
 

@@ -29,6 +29,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pack_panels(row_top, row_lane, kk: int):
+    """Pack ``(rows, kk)`` score + lane panels into ONE lane-aligned
+    ``(rows, W)`` f32 table (W = multiple of 128) for the event
+    regroup's row gather.  Row gathers from lane-PADDED tables (minor
+    dim kk < 128) silently read wrong rows on this TPU backend past
+    ~800k rows (round 4; see ``query_kernel.PACK_W``); full-tile-width
+    tables follow the battle-tested corpus-gather path.  The barrier
+    stops XLA fusing the pad back into the consumer gather."""
+    w = -(-2 * kk // 128) * 128
+    packed = jnp.concatenate(
+        [row_top, row_lane.astype(jnp.float32)], axis=1)
+    packed = jnp.pad(packed, ((0, 0), (0, w - 2 * kk)))
+    return jax.lax.optimization_barrier(packed)
+
+
 def _chunked_serve(queries, probe_ids, probe_valid, query_chunk: int,
                    bound_fn, call_fn):
     """Shared pad/chunk/concat scaffold of the grouped and windowed
@@ -147,7 +162,7 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         )
     )
     from nlsh_tpu.ops.pallas.query_kernel import (
-        ROW_TOPK, _grouped_scores_topk,
+        PACK_W, ROW_TOPK, _grouped_scores_topk,
     )
 
     if row_k is None:
@@ -155,17 +170,17 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     if row_k <= ROW_TOPK:
         # fused kernel: scores never leave VMEM at full width — the
         # per-row top-k (occupancy-masked, norm-biased) happens on the
-        # VPU and only (G, row_k) panels are written.  row_k iterations
-        # suffice: every block holds distinct corpus rows, so the final
-        # top-k needs at most row_k of any one block's rows
-        row_top3, row_lane3 = _grouped_scores_topk(
+        # VPU and only packed (G, PACK_W) panels (scores + lanes in ONE
+        # lane-aligned array) are written.  row_k iterations suffice:
+        # every block holds distinct corpus rows, so the final top-k
+        # needs at most row_k of any one block's rows
+        packed3 = _grouped_scores_topk(
             layout.data, layout.norms, grp_qvecs, grp_block, grp_cnt,
             has_norms=layout.norms is not None, interpret=interpret,
             kk=row_k, block_rows=br,
         )
         kk = row_k
-        row_top = row_top3.reshape(g_total * group_q, kk)
-        row_lane = row_lane3.reshape(g_total * group_q, kk)
+        table = packed3.reshape(g_total * group_q, PACK_W)
     else:
         scores = _grouped_scores_v3(layout.data, grp_qvecs, grp_block,
                                     interpret=interpret,
@@ -181,21 +196,17 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         flat = scores.reshape(g_total * group_q, br)
         row_top, row_lane = jax.lax.top_k(flat, min(k, br))
         kk = row_top.shape[1]
+        table = _pack_panels(row_top, row_lane, kk)
 
     nq, n_probes = probe_ids.shape
     ev_row3 = ev_row.reshape(nq, n_probes * max_blocks)
     ev_valid2 = ev_valid.reshape(nq, n_probes * max_blocks)
     safe_rows = jnp.clip(ev_row3, 0, g_total * group_q - 1)
-    # 1-D flattened gather, NOT row_top[safe_rows]: on this TPU backend
-    # the 2-D row gather from a (g_total*G, kk) table (minor dim kk
-    # padded to 128 lanes) SILENTLY reads wrong rows once the table
-    # passes ~800k rows (found round 4: recall 0.95 -> 0.35 at 10k
-    # queries x 96 probes, compilation-dependent).  1-D tables have a
-    # linear layout and gather correctly at every measured size.
-    fidx = safe_rows[:, :, None] * kk + jnp.arange(kk, dtype=jnp.int32)
-    ev_top = row_top.reshape(-1)[fidx]   # (nq, maxBQ, kk)
-    ev_lane = row_lane.reshape(-1)[fidx]
-    ev_top = jnp.where(ev_valid2[:, :, None], ev_top, -jnp.inf)
+    # full-tile-width row gather (see _pack_panels / PACK_W for why the
+    # table must be lane-aligned): one gather regroups scores AND lanes
+    ev = table[safe_rows]               # (nq, maxBQ, W)
+    ev_top = jnp.where(ev_valid2[:, :, None], ev[..., :kk], -jnp.inf)
+    ev_lane = ev[..., kk:2 * kk].astype(jnp.int32)
 
     flat_top = ev_top.reshape(nq, -1)
     k_eff = min(k, flat_top.shape[1])  # row_k < k shrinks the pool
@@ -299,7 +310,8 @@ def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
                         k: int, g_total: int, max_sub: int, group_q: int,
                         interpret: bool, row_k: int | None = None):
     from nlsh_tpu.ops.pallas.query_kernel import (
-        ROW_TOPK, _windowed_prep, _windowed_scores, _windowed_scores_topk,
+        PACK_W, ROW_TOPK, _windowed_prep, _windowed_scores,
+        _windowed_scores_topk,
     )
 
     br = layout.br  # static (rides the layout's pytree aux)
@@ -315,14 +327,13 @@ def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     if row_k is None:
         row_k = k
     if row_k <= ROW_TOPK:
-        row_top3, row_lane3 = _windowed_scores_topk(
+        packed3 = _windowed_scores_topk(
             layout.data, layout.norms, grp_qvecs, grp_window, grp_lo,
             grp_hi, has_norms=layout.norms is not None, interpret=interpret,
             kk=row_k, block_rows=br,
         )
         kk = row_k
-        row_top = row_top3.reshape(g_total * group_q, kk)
-        row_lane = row_lane3.reshape(g_total * group_q, kk)
+        table = packed3.reshape(g_total * group_q, PACK_W)
     else:
         scores = _windowed_scores(layout.data, grp_qvecs, grp_window,
                                   interpret=interpret, block_rows=br)
@@ -338,18 +349,16 @@ def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         flat = scores.reshape(g_total * group_q, br)
         row_top, row_lane = jax.lax.top_k(flat, min(k, br))
         kk = row_top.shape[1]
+        table = _pack_panels(row_top, row_lane, kk)
 
     nq, n_probes = probe_ids.shape
     ev_row3 = ev_row.reshape(nq, n_probes * max_sub)
     ev_valid2 = ev_valid.reshape(nq, n_probes * max_sub)
     safe_rows = jnp.clip(ev_row3, 0, g_total * group_q - 1)
-    # 1-D flattened gather (see the grouped path): the 2-D row gather
-    # from a big lane-padded (rows, kk) table miscompiles on this TPU
-    # backend past ~800k rows
-    fidx = safe_rows[:, :, None] * kk + jnp.arange(kk, dtype=jnp.int32)
-    ev_top = row_top.reshape(-1)[fidx]   # (nq, maxPJ, kk)
-    ev_lane = row_lane.reshape(-1)[fidx]
-    ev_top = jnp.where(ev_valid2[:, :, None], ev_top, -jnp.inf)
+    # full-tile-width row gather (see _pack_panels / PACK_W)
+    ev = table[safe_rows]               # (nq, maxPJ, W)
+    ev_top = jnp.where(ev_valid2[:, :, None], ev[..., :kk], -jnp.inf)
+    ev_lane = ev[..., kk:2 * kk].astype(jnp.int32)
 
     flat_top = ev_top.reshape(nq, -1)
     k_eff = min(k, flat_top.shape[1])

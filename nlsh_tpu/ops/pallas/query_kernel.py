@@ -670,17 +670,28 @@ def _grouped_scores_v3(data, grp_qvecs, grp_block, interpret: bool,
 
 ROW_TOPK = 16  # per-(group, slot) top-k width of the fused kernel
 
+#: width of the packed per-row top-k panel: ``kk`` scores, then ``kk``
+#: lanes (as exact f32 — lanes < block_rows <= 2^24), zero-padded to a
+#: full 128-lane tile.  ONE lane-aligned output instead of two
+#: (8, 128)-tile-padded ones: halves the kernel's output traffic AND
+#: makes the event regroup a row gather from a table whose physical
+#: layout equals its logical one — the lane-PADDED (rows, kk) row
+#: gather silently reads wrong rows on this backend past ~800k rows
+#: (round 4; see CLAUDE.md), while (rows, 128) row gathers are the
+#: battle-tested corpus-gather pattern.
+PACK_W = 128
+
 
 def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
-    """v3 kernel + fused per-row top-k: emits ``(G, kk)`` best scores
-    and lane indices per group instead of the raw ``(G, BLOCK_ROWS)``
-    score panel — 4x less output traffic and no XLA ``top_k`` pass over
-    g*G*BLOCK_ROWS scores afterwards.  Occupancy masking and the
-    euclidean ``-||c||^2`` bias fold in before selection."""
+    """v3 kernel + fused per-row top-k: emits one packed ``(G, PACK_W)``
+    panel per group — ``kk`` best scores then their ``kk`` lane indices
+    (f32) — instead of the raw ``(G, BLOCK_ROWS)`` score panel: ~4x less
+    output traffic and no XLA ``top_k`` pass over g*G*BLOCK_ROWS scores
+    afterwards.  Occupancy masking and the euclidean ``-||c||^2`` bias
+    fold in before selection."""
 
     def kernel(grpblk_ref, qgrp_ref, cnt_ref, *refs):
-        out_s_ref = refs[-2]
-        out_l_ref = refs[-1]
+        out_ref = refs[-1]
         corpus_refs = refs[: eb]
         norms_refs = refs[eb: 2 * eb] if has_norms else None
         br = corpus_refs[0].shape[0]
@@ -707,8 +718,12 @@ def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
                 cols_s.append(m[:, 0])
                 cols_l.append(jnp.minimum(idx[:, 0], br - 1))
                 s = jnp.where(lane == idx, -jnp.inf, s)
-            out_s_ref[j] = jnp.stack(cols_s, axis=1)  # (G, kk)
-            out_l_ref[j] = jnp.stack(cols_l, axis=1)
+            sc = jnp.stack(cols_s, axis=1)  # (G, kk)
+            ln = jnp.stack(cols_l, axis=1).astype(jnp.float32)
+            out_ref[j] = jnp.concatenate(
+                [sc, ln, jnp.zeros((g, PACK_W - 2 * kk), jnp.float32)],
+                axis=1,
+            )
 
     return kernel
 
@@ -718,9 +733,10 @@ def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
 def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
                          has_norms: bool, interpret: bool,
                          kk: int = ROW_TOPK, block_rows: int | None = None):
-    """Fused score + per-row top-``kk``.  Returns
-    ``(row_top (g_total, G, kk), row_lane (g_total, G, kk))``.  The
-    iterative in-kernel top-k costs one VPU max+mask pass per kept
+    """Fused score + per-row top-``kk``.  Returns the packed panel
+    ``(g_total, G, PACK_W)`` f32 — scores in ``[..., :kk]``, lane
+    indices (exact f32) in ``[..., kk:2*kk]`` (see :data:`PACK_W`).
+    The iterative in-kernel top-k costs one VPU max+mask pass per kept
     element, so callers size ``kk`` to what they actually need (the
     per-block distinct count) instead of the ROW_TOPK ceiling."""
     br = _br(block_rows)
@@ -762,20 +778,13 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
         num_scalar_prefetch=1,
         grid=(g_total // eb,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((eb, G, kk), lambda i, blk: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, G, kk), lambda i, blk: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((eb, G, PACK_W), lambda i, blk: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _make_grouped_topk_kernel(eb, kk, has_norms),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((g_total, G, kk), jnp.float32),
-            jax.ShapeDtypeStruct((g_total, G, kk), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((g_total, G, PACK_W), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -1156,8 +1165,7 @@ def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool):
     occupancy count."""
 
     def kernel(grpwin_ref, qgrp_ref, lo_ref, hi_ref, *refs):
-        out_s_ref = refs[-2]
-        out_l_ref = refs[-1]
+        out_ref = refs[-1]
         corpus_refs = refs[: eb]
         norms_refs = refs[eb: 2 * eb] if has_norms else None
         br = corpus_refs[0].shape[0]
@@ -1187,8 +1195,12 @@ def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool):
                 cols_s.append(m[:, 0])
                 cols_l.append(jnp.minimum(idx[:, 0], br - 1))
                 s = jnp.where(lane == idx, -jnp.inf, s)
-            out_s_ref[j] = jnp.stack(cols_s, axis=1)
-            out_l_ref[j] = jnp.stack(cols_l, axis=1)
+            sc = jnp.stack(cols_s, axis=1)
+            ln = jnp.stack(cols_l, axis=1).astype(jnp.float32)
+            out_ref[j] = jnp.concatenate(
+                [sc, ln, jnp.zeros((g, PACK_W - 2 * kk), jnp.float32)],
+                axis=1,
+            )
 
     return kernel
 
@@ -1198,8 +1210,9 @@ def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool):
 def _windowed_scores_topk(data, norms, grp_qvecs, grp_window, grp_lo, grp_hi,
                           has_norms: bool, interpret: bool,
                           kk: int = ROW_TOPK, block_rows: int | None = None):
-    """Fused windowed score + per-row top-``kk``.  Returns
-    ``(row_top (g_total, G, kk), row_lane (g_total, G, kk))``."""
+    """Fused windowed score + per-row top-``kk``.  Returns the packed
+    ``(g_total, G, PACK_W)`` panel — scores ``[..., :kk]``, lanes
+    ``[..., kk:2*kk]`` (see :data:`PACK_W`)."""
     br = _br(block_rows)
     g_total, G, d_pad = grp_qvecs.shape
     eb = _GROUP_EB
@@ -1237,20 +1250,13 @@ def _windowed_scores_topk(data, norms, grp_qvecs, grp_window, grp_lo, grp_hi,
         num_scalar_prefetch=1,
         grid=(g_total // eb,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((eb, G, kk), lambda i, blk: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, G, kk), lambda i, blk: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((eb, G, PACK_W), lambda i, blk: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _make_windowed_topk_kernel(eb, kk, has_norms),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((g_total, G, kk), jnp.float32),
-            jax.ShapeDtypeStruct((g_total, G, kk), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((g_total, G, PACK_W), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
