@@ -440,8 +440,8 @@ def main():
     entries = [
         ("pallas-grouped", "grouped", jnp.float32, lay_f32),
         ("pallas-grouped", "grouped", jnp.bfloat16, None),  # layout below
-        ("pallas", "fixed", jnp.float32, lay_f32),
         ("pallas-windowed", "windowed", jnp.float32, lay_f32),
+        ("pallas", "fixed", jnp.float32, lay_f32),
     ]
 
     def _submit(name, serve, sdtype, lay):
@@ -465,7 +465,7 @@ def main():
     _submit(*entries[1])
     indexer.serving_dtype = jnp.float32
 
-    def _measure_entry(name, serve, sdtype, lay, wait_s):
+    def _measure_entry(name, serve, sdtype, lay, wait_s, reps=REPS):
         try:
             dt = jnp.dtype(sdtype).name
             cb = prew.get(("b", name, dt), timeout=wait_s)
@@ -497,7 +497,7 @@ def main():
             packed = np.asarray(single())
             top, n_cand = packed[:, :-1], packed[:, -1]
             times, times1 = [], []
-            for _ in range(REPS):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 np.asarray(batched())
                 times.append((time.perf_counter() - t0) / PIPELINE_DEPTH)
@@ -546,7 +546,11 @@ def main():
                   f"(deadline {SWEEP_DEADLINE_S:.0f}s)",
                   file=sys.stderr, flush=True)
             break
-        _measure_entry(*entry, wait_s=max(remaining - 30, 10))
+        # comparison rows take half the reps of the headline: min-over-5
+        # of a 16-deep one-dispatch pipeline still dodges relay stalls,
+        # and the saved ~15 s/entry is what lets all 4 entries land
+        # inside the driver budget
+        _measure_entry(*entry, wait_s=max(remaining - 30, 10), reps=5)
 
     if not sweep:
         # both Pallas engines failed: fall back to the XLA gather path
