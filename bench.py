@@ -110,17 +110,31 @@ class _BenchData:
         return self
 
 
+# ONE cluster model for corpus, GT queries and the fresh pipelined pool
+# — any tweak here changes all three together (and bumps no cache key,
+# so bump _workload_key's version suffix when touching these constants)
+N_CLUSTERS = 4096
+CLUSTER_NOISE = 0.35
+
+
+def _cluster_points(centers, rng, n):
+    """``n`` unit-sphere points from the bench cluster model, drawn from
+    ``rng`` in the fixed order (assignments, then noise) every caller
+    replays."""
+    dim = centers.shape[1]
+    assign = rng.integers(0, centers.shape[0], size=n)
+    pts = centers[assign] + CLUSTER_NOISE * rng.normal(
+        size=(n, dim)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pts
+
+
 def glove100_workload(rng, n_corpus=N_CORPUS, n_queries=N_QUERIES, dim=DIM):
     """The bench workload: synthetic clustered unit-sphere data with the
     exact glove-100-angular shape (shared with benchmarks/frontier.py
     and benchmarks/train_full.py)."""
-    n_clusters = 4096
-    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
-    assign = rng.integers(0, n_clusters, size=n_corpus + n_queries)
-    pts = centers[assign] + 0.35 * rng.normal(
-        size=(n_corpus + n_queries, dim)
-    ).astype(np.float32)
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    centers = rng.normal(size=(N_CLUSTERS, dim)).astype(np.float32)
+    pts = _cluster_points(centers, rng, n_corpus + n_queries)
     return pts[:n_corpus], pts[n_corpus:]
 
 
@@ -130,15 +144,10 @@ def glove100_fresh_pool(repeats, n_queries=N_QUERIES, dim=DIM, seed=SEED):
     replayed from the same seed — new assignments and noise), so every
     pipelined repeat serves distinct queries with the workload's bucket
     distribution instead of re-probing one batch's working set."""
-    n_clusters = 4096
     rng = np.random.default_rng(seed)
-    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
+    centers = rng.normal(size=(N_CLUSTERS, dim)).astype(np.float32)
     rng2 = np.random.default_rng(seed + 1_000_003)
-    n = repeats * n_queries
-    assign = rng2.integers(0, n_clusters, size=n)
-    pts = centers[assign] + 0.35 * rng2.normal(size=(n, dim)).astype(
-        np.float32)
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts = _cluster_points(centers, rng2, repeats * n_queries)
     return pts.reshape(repeats, n_queries, dim)
 
 
@@ -163,7 +172,13 @@ def _relay_roundtrip_ms() -> float:
 # ---------------------------------------------------------------------------
 
 def _load_or_compute_gt(corpus_np, queries_np, sub_idx):
-    """(gt, sub_knn, gt_s, knn_s) with a keyed, self-verifying cache."""
+    """(gt, sub_knn, gt_s, knn_s) with a keyed, self-verifying cache.
+
+    ``sub_idx=None`` skips the training-subset self-kNN on a cache miss
+    (returns ``sub_knn=None`` and writes no cache entry) — for callers
+    that need only the query ground truth, e.g. ``train_full.py``'s
+    full-corpus path, which mines neighbours over the whole corpus
+    itself and would discard a ~minutes-long 131k self-kNN pass."""
     import jax
     import jax.numpy as jnp
 
@@ -190,6 +205,8 @@ def _load_or_compute_gt(corpus_np, queries_np, sub_idx):
     gt = np.asarray(jax.block_until_ready(gt))
     gt_s = time.perf_counter() - t0
 
+    if sub_idx is None:
+        return gt, None, gt_s, 0.0
     t0 = time.perf_counter()
     sub_knn = np.asarray(self_knn(jnp.asarray(corpus_np[sub_idx]), k=20,
                                   metric="cosine",
@@ -301,7 +318,7 @@ def _engine_parity(corpus_np, queries_np, hashing, params):
 
 
 class _Prewarmer:
-    """AOT-compiles jitted programs on background threads.
+    """AOT-compiles jitted programs on background DAEMON threads.
 
     Every distinct (engine, dtype) sweep program costs a remote compile
     (13-155 s observed for the SAME program); serially they starved the
@@ -309,34 +326,55 @@ class _Prewarmer:
     compile helper is an HTTP service, so compiles overlap each other
     AND the device-bound timing loops — total compile wall-clock drops
     from the sum to roughly the max.  ``get`` returns the compiled
-    executable (waiting if needed) or None on failure, in which case the
-    caller falls back to the plain jitted call (inline compile)."""
+    executable (waiting if needed) or None on failure/timeout, in which
+    case the caller falls back to the plain jitted call (inline
+    compile).  Daemon threads (not a ThreadPoolExecutor): futures'
+    atexit hook joins worker threads, so compiles still in flight when
+    the sweep deadline truncates would stall process exit past the
+    driver budget — exactly the degraded-compile-window scenario the
+    deadline exists for."""
+
+    _MAX_CONCURRENT = 4
 
     def __init__(self):
-        from concurrent.futures import ThreadPoolExecutor
+        import threading
 
-        self._pool = ThreadPoolExecutor(max_workers=4)
-        self._futs = {}
+        self._sem = threading.Semaphore(self._MAX_CONCURRENT)
+        self._jobs = {}
 
     def submit(self, key, jitted, *args, **kwargs):
-        if key in self._futs:
+        if key in self._jobs:
             return
+        import threading
+
+        slot = {"done": threading.Event(), "exe": None, "err": None}
 
         def work():
-            return jitted.lower(*args, **kwargs).compile()
+            with self._sem:
+                try:
+                    slot["exe"] = jitted.lower(*args, **kwargs).compile()
+                except Exception as e:
+                    slot["err"] = e
+                finally:
+                    slot["done"].set()
 
-        self._futs[key] = self._pool.submit(work)
+        self._jobs[key] = slot
+        threading.Thread(target=work, daemon=True,
+                         name=f"prewarm-{key}").start()
 
     def get(self, key, timeout=None):
-        fut = self._futs.get(key)
-        if fut is None:
+        slot = self._jobs.get(key)
+        if slot is None:
             return None
-        try:
-            return fut.result(timeout=timeout)
-        except Exception as e:  # fall back to inline compile
-            print(f"prewarm {key} failed: {e!r}", file=sys.stderr,
-                  flush=True)
+        if not slot["done"].wait(timeout):
+            print(f"prewarm {key} timed out after {timeout}s",
+                  file=sys.stderr, flush=True)
             return None
+        if slot["err"] is not None:  # fall back to inline compile
+            print(f"prewarm {key} failed: {slot['err']!r}",
+                  file=sys.stderr, flush=True)
+            return None
+        return slot["exe"]
 
 
 def _wait_for_backend(deadline_s: float) -> None:

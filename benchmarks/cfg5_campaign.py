@@ -37,7 +37,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import CACHE_DIR, _wait_for_backend
-from benchmarks.configs import _measure, _train
+from benchmarks.configs import (_measure, _train, deepimage96_workload,
+                                measure_qps_batch)
 
 
 def _log(msg):
@@ -61,16 +62,20 @@ def main():
     qbatch = int(os.environ.get("NLSH_CFG5C_QBATCH", 16_384))
     qbatch_probes = int(os.environ.get("NLSH_CFG5C_QBATCH_PROBES", 16))
     engine = os.environ.get("NLSH_CFG5C_ENGINE", "pallas-grouped")
+    # byte-sensitivity probe: f32 doubles streamed bytes vs bf16 — if
+    # qps_batch holds, the big-batch regime is still group-floor-bound
+    # and a narrower (int8) layout would buy nothing
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
+        os.environ.get("NLSH_CFG5C_DTYPE", "bf16")]
 
     dim, n_test = 96, 2000
     rng = np.random.default_rng(0)
-    centers = rng.normal(size=(8192, dim)).astype(np.float32)
     _log(f"generating {n_corpus} x {dim} corpus")
-    assign = rng.integers(0, 8192, size=n_corpus + n_test)
-    pts = centers[assign] + 0.3 * rng.normal(
-        size=(n_corpus + n_test, dim)).astype(np.float32)
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
-    corpus, queries_np = pts[:n_corpus], pts[n_corpus:]
+    # the config-5 protocol's cluster model, shared with configs.py so
+    # campaign rows stay comparable with the RESULTS.md config-5 rows
+    centers, corpus, queries_np = deepimage96_workload(rng, n_corpus,
+                                                       n_test=n_test,
+                                                       dim=dim)
     queries = jnp.asarray(queries_np)
 
     # ---- cached exact GT (the expensive device pass at 10M) ----------
@@ -136,10 +141,11 @@ def main():
              f"({mesh.devices.size} device(s))")
         t0 = time.perf_counter()
         idx = ShardedIndexer(hashing, params, corpus, mesh, metric="cosine",
-                             engine=engine, serving_dtype=jnp.bfloat16)
+                             engine=engine, serving_dtype=dtype)
         build_s = time.perf_counter() - t0
         base = {"config": "cfg5_campaign", "n_corpus": int(n_corpus),
                 "bits": bits, "engine": engine,
+                "dtype": jnp.dtype(dtype).name,
                 "n_shards": int(mesh.devices.size),
                 "build_s": round(build_s, 1), "train_s": round(train_s, 1)}
         for probes in probes_list:
@@ -153,27 +159,9 @@ def main():
         if qbatch > n_test:
             # fresh queries from the same cluster model: big-batch
             # serving throughput with no hot-working-set advantage
-            extra = centers[rng.integers(0, 8192, size=qbatch)] + \
-                0.3 * rng.normal(size=(qbatch, dim)).astype(np.float32)
-            extra /= np.linalg.norm(extra, axis=1, keepdims=True)
-            qbig = jnp.asarray(extra.astype(np.float32))
-            r = idx.query_async(qbig, k=10, hash_times=qbatch_probes,
-                                key=jax.random.PRNGKey(1), probe_mode="flip")
-            idx.fetch(r)  # compile + warm
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                outs = [idx.query_async(qbig, k=10,
-                                        hash_times=qbatch_probes,
-                                        key=jax.random.PRNGKey(1),
-                                        probe_mode="flip")
-                        for _ in range(4)]
-                for o in outs:
-                    idx.fetch(o)
-                times.append((time.perf_counter() - t0) / 4)
-            print(json.dumps({**base, "probes": qbatch_probes,
-                              "qbatch": qbatch,
-                              "qps_batch": round(qbatch / min(times), 1)}),
+            mb = measure_qps_batch(idx, centers, rng, qbatch,
+                                   qbatch_probes, dim=dim)
+            print(json.dumps({**base, "probes": qbatch_probes, **mb}),
                   flush=True)
         del idx
         gc.collect()

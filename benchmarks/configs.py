@@ -34,6 +34,59 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# config-5 cluster model, shared with benchmarks/cfg5_campaign.py —
+# one definition so campaign rows stay comparable with the config-5
+# RESULTS rows (the rng draw ORDER here is part of the protocol: any
+# change regenerates a different corpus under the same cache keys)
+CFG5_CLUSTERS = 8192
+CFG5_NOISE = 0.3
+
+
+def deepimage96_points(centers, rng, n, dim=96):
+    """``n`` unit-sphere points from the config-5 cluster model, drawn
+    from ``rng`` as (assignments, then noise)."""
+    assign = rng.integers(0, centers.shape[0], size=n)
+    pts = centers[assign] + CFG5_NOISE * rng.normal(
+        size=(n, dim)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pts
+
+
+def deepimage96_workload(rng, n_corpus, n_test=2000, dim=96):
+    """(centers, corpus, queries) for the config-5 protocol; centers are
+    returned so callers can synthesize FRESH same-distribution queries
+    (big-batch throughput without a hot working set)."""
+    centers = rng.normal(size=(CFG5_CLUSTERS, dim)).astype(np.float32)
+    pts = deepimage96_points(centers, rng, n_corpus + n_test, dim=dim)
+    return centers, pts[:n_corpus], pts[n_corpus:]
+
+
+def measure_qps_batch(idx, centers, rng, qbatch, probes, dim=96):
+    """Big-batch serving throughput on FRESH cluster-model queries.
+
+    The grouped/windowed engines pay a ~4.5 us floor per DISTINCT probed
+    (bucket, block) cell; query multiplicity (nq*P/NB) amortises that
+    floor linearly, so production-size batches — not probe count — are
+    the single-chip 10M lever.  Timing: warm once, then min over 3
+    rounds of 4 in-flight dispatches."""
+    import jax
+    import jax.numpy as jnp
+
+    qbig = jnp.asarray(deepimage96_points(centers, rng, qbatch, dim=dim))
+    serve = lambda: idx.query_async(  # noqa: E731
+        qbig, k=10, hash_times=probes, key=jax.random.PRNGKey(1),
+        probe_mode="flip")
+    idx.fetch(serve())  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [serve() for _ in range(4)]
+        for o in outs:
+            idx.fetch(o)
+        times.append((time.perf_counter() - t0) / 4)
+    return {"qps_batch": round(qbatch / min(times), 1), "qbatch": qbatch}
+
+
 def _data(data_id, n_train, n_test, dim, metric, k=10, seed=0):
     """Real dataset if configured, else a synthetic stand-in."""
     from nlsh_tpu.data import SyntheticDataset, get_data_by_id
@@ -415,15 +468,12 @@ def config_5(n_corpus=None):
 
     dim, n_test = 96, 2000
     rng = np.random.default_rng(0)
-    centers = rng.normal(size=(8192, dim)).astype(np.float32)
     _log(f"generating {n_corpus} x {dim} corpus")
-    assign = rng.integers(0, 8192, size=n_corpus + n_test)
-    pts = centers[assign] + 0.3 * rng.normal(
-        size=(n_corpus + n_test, dim)).astype(np.float32)
-    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
     # corpus stays numpy: ShardedIndexer keeps the host copy so the
     # host layout builder never fetches 4 GB back through the relay
-    corpus, queries = pts[:n_corpus], jnp.asarray(pts[n_corpus:])
+    centers, corpus, queries = deepimage96_workload(rng, n_corpus,
+                                                    n_test=n_test, dim=dim)
+    queries = jnp.asarray(queries)
 
     _log("exact GT")
     _, gt = knn(queries, corpus, k=10, metric="cosine",
@@ -503,25 +553,8 @@ def config_5(n_corpus=None):
     # Recall comes from the exact-GT 2k batch above (same distribution).
     qbatch = int(os.environ.get("NLSH_CONFIG5_QBATCH", 0))
     if qbatch > n_test:
-        extra = centers[rng.integers(0, 8192, size=qbatch)] + \
-            0.3 * rng.normal(size=(qbatch, dim)).astype(np.float32)
-        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
-        qbig = jnp.asarray(extra.astype(np.float32))
-        r = idx.query_async(qbig, k=10, hash_times=probes,
-                            key=jax.random.PRNGKey(1), probe_mode="flip")
-        idx.fetch(r)  # compile + warm
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs = [idx.query_async(qbig, k=10, hash_times=probes,
-                                    key=jax.random.PRNGKey(1),
-                                    probe_mode="flip")
-                    for _ in range(4)]
-            for o in outs:
-                idx.fetch(o)
-            times.append((time.perf_counter() - t0) / 4)
-        m["qps_batch"] = round(qbatch / min(times), 1)
-        m["qbatch"] = qbatch
+        m.update(measure_qps_batch(idx, centers, rng, qbatch, probes,
+                                   dim=dim))
     return {"config": "5_deepimage96_10M_sharded",
             "n_corpus": int(n_corpus), "engine": engine, "bits": bits,
             "probes": probes,

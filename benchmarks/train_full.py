@@ -132,11 +132,11 @@ def main():
     full = TRAIN_SUBSET >= bench.N_CORPUS
     if full:
         # same workload + constants as bench.py: reuse its keyed GT
-        # cache (the committed repo copy makes this a 0 s read)
-        bench_sub = rng.choice(bench.N_CORPUS, bench.TRAIN_SUBSET,
-                               replace=False)
+        # cache (the committed repo copy makes this a 0 s read);
+        # sub_idx=None skips bench's 131k subset self-kNN on a miss —
+        # this path mines neighbours over the whole corpus below
         gt, _, gt_s, _ = bench._load_or_compute_gt(
-            corpus_np, queries_np, bench_sub)
+            corpus_np, queries_np, None)
         subset = corpus_np
         t0 = time.perf_counter()
         sub_knn = _self_knn_sliced(corpus, k=20, metric="cosine",
@@ -203,8 +203,12 @@ def main():
     import re
 
     best_recall, best_path = -1.0, None
+    # anchor the WHOLE basename: 'train_full_glove100' is a prefix of
+    # 'train_full_glove100_1.18M', so a loose suffix match would let a
+    # subset rerun silently serve the full run's checkpoints
+    pat = re.compile(rf"^{re.escape(run_name)}_(\d+)_([0-9.]+)\.json$")
     for p in glob.glob(f"/tmp/{run_name}_*.json"):
-        m = re.search(r"_(\d+)_([0-9.]+)\.json$", p)
+        m = pat.match(os.path.basename(p))
         if m and float(m.group(2)) > best_recall:
             best_recall, best_path = float(m.group(2)), p[: -len(".json")]
     if best_path is not None:

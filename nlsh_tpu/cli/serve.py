@@ -121,25 +121,41 @@ def serve_loop(args, idx, key, extra, dim,
 
     Requests: ``{"id": <any>, "queries": [[f32 x dim], ...]}``.
     Answers: ``{"id", "topk_ids", "n_candidates", "latency_ms"}`` in
-    request order.  Dispatch is pipelined through ``query_async`` (up to
-    ``--pipeline`` batches in flight, so device work overlaps stdin
-    parsing and response writes); query batches are padded to the next
-    power of two (min 8) so a shape-diverse request stream compiles
-    O(log max_batch) programs, not one per size.  EOF flushes pending
-    work and emits a final ``{"stats": ...}`` line with latency
-    percentiles — the per-batch channels a serving deployment watches.
+    request order (malformed requests answer ``{"id", "error"}`` in the
+    same stream position).  Dispatch is pipelined through
+    ``query_async`` (up to ``--pipeline`` batches in flight, so device
+    work overlaps stdin parsing and response writes) — but the loop
+    never *withholds* an answer to fill the pipeline: whenever stdin
+    has no data ready, pending answers flush immediately, so a
+    request/response client that waits for each answer before sending
+    the next request is served without deadlock.  Query batches are
+    padded to the next power of two (min 8) so a shape-diverse request
+    stream compiles O(log max_batch) programs, not one per size.  EOF
+    flushes pending work and emits a final ``{"stats": ...}`` line with
+    latency percentiles — the per-batch channels a serving deployment
+    watches.
     """
+    import select
     import sys
 
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
-    pending = []  # (request id, t_received, n_real, async result)
+    try:
+        stdin_fd = stdin.fileno()  # real pipe/tty: idle-flush via select
+    except Exception:
+        stdin_fd = None  # StringIO etc.: batch semantics (flush at EOF)
+    pending = []  # (request id, t_received, n_real, async result | error)
     latencies = []
     n_queries = 0
     t_start = time.perf_counter()
 
     def _emit(entry):
         rid, t_recv, n_real, res = entry
+        if n_real is None:  # parse/validation error, in stream order
+            json.dump({"id": rid, "error": res}, stdout)
+            stdout.write("\n")
+            stdout.flush()
+            return
         top, n_cand = idx.fetch(res)
         ms = (time.perf_counter() - t_recv) * 1000
         latencies.append(ms)
@@ -152,20 +168,29 @@ def serve_loop(args, idx, key, extra, dim,
         stdout.write("\n")
         stdout.flush()
 
-    for line in stdin:
+    while True:
+        if pending and stdin_fd is not None:
+            ready, _, _ = select.select([stdin_fd], [], [], 0.0)
+            if not ready:
+                # client is waiting on us, not the other way round
+                _emit(pending.pop(0))
+                continue
+        line = stdin.readline()
+        if not line:
+            break
         line = line.strip()
         if not line:
             continue
+        rid = None
         try:
             req = json.loads(line)
+            rid = req.get("id") if isinstance(req, dict) else None
             q = np.asarray(req["queries"], np.float32)
             if q.ndim != 2 or q.shape[1] != dim:
                 raise ValueError(f"expected (n, {dim}) queries, "
                                  f"got {q.shape}")
         except Exception as e:
-            json.dump({"error": repr(e)}, stdout)
-            stdout.write("\n")
-            stdout.flush()
+            pending.append((rid, time.perf_counter(), None, repr(e)))
             continue
         n_real = q.shape[0]
         padded = 1 << max((n_real - 1).bit_length(), 3)
@@ -174,7 +199,7 @@ def serve_loop(args, idx, key, extra, dim,
         n_queries += n_real
         res = idx.query_async(jnp.asarray(q), k=args.k,
                               hash_times=args.hash_times, key=key, **extra)
-        pending.append((req.get("id"), time.perf_counter(), n_real, res))
+        pending.append((rid, time.perf_counter(), n_real, res))
         while len(pending) > args.pipeline:
             _emit(pending.pop(0))
     while pending:

@@ -352,7 +352,7 @@ class Indexer:
         re-hashing the corpus.  Raises if ``corpus`` does not match the
         fingerprint the table was built over."""
         from nlsh_tpu.index.bucket_table import BucketTable
-        from nlsh_tpu.utils.fingerprint import corpus_fingerprint
+        from nlsh_tpu.utils.fingerprint import check_fingerprint
 
         with np.load(path, allow_pickle=False) as z:
             meta = [str(v) for v in z["meta"]]
@@ -363,11 +363,7 @@ class Indexer:
                     f"saved index is over a {n_rows}x{dim} corpus, "
                     f"got {tuple(corpus.shape)}"
                 )
-            if corpus_fingerprint(corpus) != digest:
-                raise ValueError(
-                    "saved index was built over a different corpus "
-                    "(fingerprint mismatch)"
-                )
+            check_fingerprint(digest, corpus)
             table = BucketTable(
                 row_ids=jnp.asarray(z["row_ids"]),
                 starts=jnp.asarray(z["starts"]),

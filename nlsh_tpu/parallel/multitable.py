@@ -285,7 +285,7 @@ class MultiTableIndexer:
         a different corpus, table count, or incompatible mesh.  The
         fingerprint samples head + tail + strided middle rows
         (:func:`nlsh_tpu.utils.fingerprint.corpus_fingerprint`)."""
-        from nlsh_tpu.utils.fingerprint import corpus_fingerprint
+        from nlsh_tpu.utils.fingerprint import check_fingerprint
 
         with np.load(path, allow_pickle=False) as z:
             (metric, probe_budget, engine, sdtype, block_rows,
@@ -300,11 +300,7 @@ class MultiTableIndexer:
                     f"saved index is over {n_rows} corpus rows, got "
                     f"{corpus.shape[0]}"
                 )
-            if corpus_fingerprint(corpus) != digest:
-                raise ValueError(
-                    "saved index was built over a different corpus "
-                    "(fingerprint mismatch)"
-                )
+            check_fingerprint(digest, corpus)
             tables = (z["row_ids"], z["starts"], z["counts"])
             if engine == "pallas-compact":  # retired r3; same layout
                 engine = "pallas-grouped"

@@ -228,7 +228,7 @@ class ShardedIndexer:
         the corpus must match the saved fingerprint (head + tail +
         strided sample; a head-only digest accepted appended/tail-edited
         corpora)."""
-        from nlsh_tpu.utils.fingerprint import corpus_fingerprint
+        from nlsh_tpu.utils.fingerprint import check_fingerprint
 
         with np.load(path, allow_pickle=False) as z:
             (metric, probe_budget, engine, sdtype, block_rows,
@@ -243,11 +243,7 @@ class ShardedIndexer:
                     f"saved index is over {n_real} corpus rows, got "
                     f"{corpus.shape[0]}"
                 )
-            if corpus_fingerprint(corpus, n_real=int(n_real)) != digest:
-                raise ValueError(
-                    "saved index was built over a different corpus "
-                    "(fingerprint mismatch)"
-                )
+            check_fingerprint(digest, corpus, n_real=int(n_real))
             tables = (z["row_ids"], z["starts"], z["counts"])
             if engine == "pallas-compact":  # retired r3; same layout
                 engine = "pallas-grouped"

@@ -22,6 +22,13 @@ import numpy as np
 _EDGE = 64
 _STRIDED = 256
 
+#: digest-format tag, embedded in the digest string: lets ``load``
+#: distinguish "artifact from an older fingerprint scheme — rebuild"
+#: from "corpus really differs" (the round-3 head-only digests can
+#: never match this scheme, so without the tag every old artifact
+#: would fail with the misleading 'different corpus' error)
+_VERSION = "v2"
+
 
 def _sample_indices(n: int) -> np.ndarray:
     idx = np.concatenate([
@@ -33,7 +40,8 @@ def _sample_indices(n: int) -> np.ndarray:
 
 
 def corpus_fingerprint(corpus, n_real: int | None = None) -> str:
-    """16-hex digest of ``corpus`` (any array-like, host or device).
+    """``"v2:<16-hex>"`` digest of ``corpus`` (array-like, host or
+    device).
 
     ``n_real`` bounds the rows considered (sharded corpora are padded to
     a multiple of the shard count; padding must not enter the digest).
@@ -46,4 +54,21 @@ def corpus_fingerprint(corpus, n_real: int | None = None) -> str:
     h = hashlib.sha1()
     h.update(np.array([n, d], np.int64).tobytes())
     h.update(rows.tobytes())
-    return h.hexdigest()[:16]
+    return f"{_VERSION}:{h.hexdigest()[:16]}"
+
+
+def check_fingerprint(stored: str, corpus, n_real: int | None = None,
+                      what: str = "index") -> None:
+    """Raise ``ValueError`` with a precise reason when ``stored`` does
+    not match ``corpus``: stale digest format (rebuild the artifact) vs
+    an actual corpus mismatch."""
+    if not stored.startswith(_VERSION + ":"):
+        raise ValueError(
+            f"saved {what} uses an older corpus-fingerprint format "
+            f"({stored[:8]!r}...); rebuild and re-save the {what}"
+        )
+    if corpus_fingerprint(corpus, n_real=n_real) != stored:
+        raise ValueError(
+            f"saved {what} was built over a different corpus "
+            "(fingerprint mismatch)"
+        )

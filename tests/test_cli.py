@@ -211,6 +211,69 @@ def test_serve_cli_loop_mode(tmp_path, monkeypatch, capsys):
         np.testing.assert_array_equal(ids[:, 0], np.arange(s, s + n))
 
 
+def test_serve_loop_request_response_no_deadlock():
+    """--loop must serve a client that WAITS for each answer before
+    sending its next request (the interactive pattern): pending answers
+    flush whenever stdin is idle instead of being withheld to fill the
+    pipeline — withholding deadlocks both sides forever."""
+    import argparse
+    import os
+    import select
+    import threading
+
+    from nlsh_tpu.cli.serve import serve_loop
+    from nlsh_tpu.data import get_data_by_id
+    from nlsh_tpu.index import Indexer
+
+    data = get_data_by_id("synthetic").load()
+    corpus = np.asarray(data.training)
+    hashing = MultivariateBernoulli(MLPEncoder(corpus.shape[1], (16,)), 4)
+    params = hashing.init(jax.random.PRNGKey(0))
+    idx = Indexer(hashing, params, jnp.asarray(corpus))
+    args = argparse.Namespace(k=3, hash_times=2, pipeline=4)
+
+    r_in, w_in = os.pipe()    # client -> server
+    r_out, w_out = os.pipe()  # server -> client
+    stdin = os.fdopen(r_in, "r")
+    stdout = os.fdopen(w_out, "w")
+    client_w = os.fdopen(w_in, "w")
+    client_r = os.fdopen(r_out, "r")
+
+    result = {}
+
+    def server():
+        result["stats"] = serve_loop(
+            args, idx, jax.random.PRNGKey(0),
+            {"probe_mode": "flip"}, corpus.shape[1],
+            stdin=stdin, stdout=stdout)
+        stdout.close()
+
+    th = threading.Thread(target=server, daemon=True)
+    th.start()
+    replies = []
+    try:
+        for rid, sl in [("x", slice(0, 5)), ("y", slice(5, 13))]:
+            client_w.write(json.dumps(
+                {"id": rid, "queries": corpus[sl].tolist()}) + "\n")
+            client_w.flush()
+            # the client will not send the next request until answered
+            ready, _, _ = select.select([client_r], [], [], 60)
+            assert ready, f"server withheld the answer to {rid!r} " \
+                          "(pipelining deadlock)"
+            replies.append(json.loads(client_r.readline()))
+        client_w.close()  # EOF -> stats line
+        th.join(timeout=60)
+        assert not th.is_alive()
+        replies.append(json.loads(client_r.readline()))
+    finally:
+        client_r.close()
+
+    assert [r.get("id") for r in replies[:2]] == ["x", "y"]
+    assert replies[0]["topk_ids"] and len(replies[0]["topk_ids"]) == 5
+    assert replies[-1]["stats"]["n_queries"] == 13
+    assert result["stats"]["batches"] == 2
+
+
 def test_serve_cli_multitable_artifact(tmp_path):
     """A stacked (n_tables) artifact routes to MultiTableIndexer."""
     from nlsh_tpu.cli.serve import main as serve_main

@@ -615,6 +615,28 @@ def test_indexer_save_load_roundtrip(tmp_path):
         Indexer.load(path, hashing, params, jnp.asarray(mid_edited))
 
 
+def test_indexer_load_stale_fingerprint_format(tmp_path):
+    """An artifact saved under the round-3 head-only digest scheme must
+    fail with a 'rebuild' message, not the misleading 'different
+    corpus' (its digest can NEVER match the current scheme, even for
+    the correct corpus)."""
+    rng = np.random.default_rng(33)
+    corpus = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+    hashing = MultivariateBernoulli(MLPEncoder(8, (16,)), 4)
+    params = hashing.init(jax.random.PRNGKey(0))
+    idx = Indexer(hashing, params, corpus)
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = [str(v) for v in arrays["meta"]]
+    meta[-1] = "0123456789abcdef"  # a bare-hex (pre-v2) digest
+    arrays["meta"] = np.array(meta)
+    np.savez_compressed(path, **arrays)
+    with pytest.raises(ValueError, match="older corpus-fingerprint"):
+        Indexer.load(path, hashing, params, corpus)
+
+
 @pytest.mark.parametrize("engine", ["xla", "pallas-grouped"])
 def test_indexer_incremental_add_compact(engine):
     """add(): fresh rows answer immediately (exact over the buffer,
