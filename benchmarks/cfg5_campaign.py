@@ -62,10 +62,12 @@ def main():
     qbatch = int(os.environ.get("NLSH_CFG5C_QBATCH", 16_384))
     qbatch_probes = int(os.environ.get("NLSH_CFG5C_QBATCH_PROBES", 16))
     engine = os.environ.get("NLSH_CFG5C_ENGINE", "pallas-grouped")
-    # byte-sensitivity probe: f32 doubles streamed bytes vs bf16 — if
-    # qps_batch holds, the big-batch regime is still group-floor-bound
-    # and a narrower (int8) layout would buy nothing
-    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[
+    # byte-sensitivity probe: f32 doubles streamed bytes vs bf16 and
+    # int8 halves them — if qps_batch holds across dtypes, the
+    # big-batch regime is still group-floor-bound and narrower layouts
+    # buy only HBM footprint (bf16@10M = 2.7 GB, int8 = 1.35 GB)
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+             "int8": jnp.int8}[
         os.environ.get("NLSH_CFG5C_DTYPE", "bf16")]
 
     dim, n_test = 96, 2000

@@ -34,6 +34,27 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+class _StderrLogger:
+    """Trainer progress on STDERR: these scripts' stdout is a JSONL
+    artifact, and the default NullLogger's stdout prints (reference
+    parity) would contaminate it."""
+
+    run_name = "bench"
+
+    def __init__(self, every: int = 100):
+        self._every = every
+
+    def meta(self, params=None, **kw):
+        pass
+
+    def args(self, text):
+        pass
+
+    def log(self, name, value, step):
+        if step % self._every == 0:
+            _log(f"Step {step} {name}: {value}")
+
+
 # config-5 cluster model, shared with benchmarks/cfg5_campaign.py —
 # one definition so campaign rows stay comparable with the config-5
 # RESULTS rows (the rng draw ORDER here is part of the protocol: any
@@ -152,6 +173,7 @@ def _train(hashing, data, steps, batch_size=1024, lr=1e-3, n_tables=None,
     if hash_times != 10:
         meta["hash_times"] = hash_times
     tr = TripletTrainer(hashing, data, "/tmp/nlsh_bench_models",
+                        logger=_StderrLogger(),
                         margin=margin, positive_k=positive_k,
                         balance_lambda=balance_lambda)
     if n_tables:

@@ -129,6 +129,8 @@ def serving_query(
     n_cand = jnp.sum(
         jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
     )
+    if layout.scale is not None:  # int8 dequant: back to exact-dot units
+        top_scores = top_scores * layout.scale
     return ids, top_scores, n_cand
 
 
@@ -231,6 +233,8 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     n_cand = jnp.sum(
         jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
     )
+    if layout.scale is not None:  # int8 dequant: back to exact-dot units
+        top_scores = top_scores * layout.scale
     return ids, top_scores, n_cand
 
 
@@ -381,6 +385,8 @@ def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     n_cand = jnp.sum(
         jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
     )
+    if layout.scale is not None:  # int8 dequant: back to exact-dot units
+        top_scores = top_scores * layout.scale
     return ids, top_scores, n_cand
 
 

@@ -93,6 +93,15 @@ class ServingLayout(NamedTuple):
     #                      silently mis-indexed blocks) so low-occupancy
     #                      tables (10M-scale, mean bucket << 512) can use
     #                      small blocks while dense ones keep 512
+    scale: Array | None = None  # () f32 int8 dequant scale (int8 layouts
+    #                             only): data = round(ext / scale), so
+    #                             true score = kernel dot * scale.  The
+    #                             serving wrappers multiply it back in
+    #                             AFTER top-k (ranking is monotone in a
+    #                             positive global scale) so returned
+    #                             scores stay in exact-dot units and
+    #                             merge correctly with exactly-scored
+    #                             fresh rows and across shards.
 
     @property
     def n_rows(self) -> int:
@@ -105,29 +114,48 @@ class ServingLayout(NamedTuple):
 
     def tree_flatten(self):
         return (
-            (self.data, self.row_map, self.starts, self.counts, self.norms),
+            (self.data, self.row_map, self.starts, self.counts, self.norms,
+             self.scale),
             (self.cap, self.d_pad, self.align, self.metric,
              self.total_blocks, self.block_rows),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, row_map, starts, counts, norms = children
+        data, row_map, starts, counts, norms, scale = children
         cap, d_pad, align, metric, total_blocks, block_rows = aux
         return cls(data=data, row_map=row_map, starts=starts, counts=counts,
                    cap=cap, d_pad=d_pad, align=align, metric=metric,
                    total_blocks=total_blocks, norms=norms,
-                   block_rows=block_rows)
+                   block_rows=block_rows, scale=scale)
+
+
+def _check_int8_metric(metric: str) -> None:
+    """int8 layouts are cosine-only: a global dequant scale is monotone
+    on pure dot scores, but the euclidean score ``2q.c - ||c||^2`` mixes
+    the scaled dot with unscaled f32 norms BEFORE top-k (in-kernel), so
+    int8 would need the scale applied inside every kernel variant."""
+    if metric != "cosine":
+        raise ValueError(
+            "int8 serving layouts support the cosine metric only "
+            f"(got {metric!r}); use float32/bfloat16 for euclidean"
+        )
 
 
 def layout_arrays(row_ids: Array, starts: Array, counts: Array,
                   corpus: Array, cap: int, n_aligned: int,
-                  metric: str, dtype=jnp.float32, align: int | None = None):
+                  metric: str, dtype=jnp.float32, align: int | None = None,
+                  scale: Array | None = None):
     """Traceable layout-construction core (also used per-shard inside
     ``shard_map``): returns ``(data, row_map, aligned_starts, norms)``
     with the static shapes ``(n_aligned, d_pad)`` / ``(n_aligned,)``;
     ``norms`` is None for cosine.  See :func:`aligned_rows` for
-    ``align`` (must match the ``n_aligned`` it produced)."""
+    ``align`` (must match the ``n_aligned`` it produced).
+
+    ``dtype=jnp.int8`` quantises rows as ``round(ext / scale)`` clipped
+    to [-127, 127]; ``scale`` defaults to ``max|ext| / 127`` over THIS
+    corpus — shard-sharded callers must pass the one global scale or
+    cross-shard score merges compare different units."""
     n, d = corpus.shape
     align = cap if align is None else align
 
@@ -144,6 +172,12 @@ def layout_arrays(row_ids: Array, starts: Array, counts: Array,
         sq = jnp.sum(corpus * corpus, axis=1)
     else:
         raise ValueError(f"unsupported serving metric {metric!r}")
+
+    if jnp.dtype(dtype) == jnp.int8:
+        _check_int8_metric(metric)
+        if scale is None:
+            scale = jnp.max(jnp.abs(ext)) / 127.0
+        ext = jnp.clip(jnp.round(ext / scale), -127, 127)
 
     d_ext = ext.shape[1]
     d_pad = _round_up(d_ext, LANE)
@@ -238,33 +272,41 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
     total_blocks = int(
         (-(-np.minimum(counts_np, cap) // br)).sum()
     )
+    scale = None
+    if jnp.dtype(dtype) == jnp.int8:
+        _check_int8_metric(metric)
+        nrm = jnp.linalg.norm(corpus, axis=1, keepdims=True)
+        scale = jnp.asarray(
+            jnp.max(jnp.abs(corpus / jnp.maximum(nrm, 1e-12))) / 127.0,
+            jnp.float32)
     data, row_map, aligned_starts, norms = layout_arrays(
         table.row_ids, table.starts, table.counts, corpus,
         cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
-        align=align,
+        align=align, scale=scale,
     )
     return ServingLayout(
         data=data, row_map=row_map, starts=aligned_starts,
         counts=table.counts, cap=cap, d_pad=data.shape[1], align=align,
         metric=metric, total_blocks=total_blocks, norms=norms,
-        block_rows=br,
+        block_rows=br, scale=scale,
     )
 
 
 def layout_arrays_host(row_ids, starts, counts, corpus, cap: int,
                        n_aligned: int, metric: str, dtype=None,
-                       align: int | None = None):
+                       align: int | None = None, scale=None):
     """Numpy twin of :func:`layout_arrays` for multi-million-row corpora.
 
     The jitted builder's full-corpus scatter makes the remote compile
     host OOM past ~2M rows (round-1 VERDICT missing #2); permuting on
     the host sidesteps compilation entirely — only dense, ready arrays
     are shipped to the device.  Bit-identical to the traced builder
-    (tested)."""
+    (tested; int8 rounding is round-half-even on both sides)."""
     import ml_dtypes
 
     np_dtype = {None: np.float32, jnp.float32: np.float32,
-                jnp.bfloat16: ml_dtypes.bfloat16}.get(dtype, dtype)
+                jnp.bfloat16: ml_dtypes.bfloat16,
+                jnp.int8: np.int8}.get(dtype, dtype)
     row_ids = np.asarray(row_ids)
     starts = np.asarray(starts).astype(np.int64)
     counts = np.asarray(counts).astype(np.int64)
@@ -280,6 +322,12 @@ def layout_arrays_host(row_ids, starts, counts, corpus, cap: int,
         sq = np.einsum("nd,nd->n", corpus, corpus).astype(np.float32)
     else:
         raise ValueError(f"unsupported serving metric {metric!r}")
+
+    if np.dtype(np_dtype) == np.int8:
+        _check_int8_metric(metric)
+        if scale is None:
+            scale = float(np.abs(ext).max() / 127.0)
+        ext = np.clip(np.round(ext / scale), -127, 127)
 
     d_ext = ext.shape[1]
     d_pad = _round_up(d_ext, LANE)
@@ -324,10 +372,17 @@ def serving_layout_host(table, corpus, metric: str = "cosine",
     total_blocks = int(
         (-(-np.minimum(counts_np, cap) // br)).sum()
     )
+    scale = None
+    if jnp.dtype(dtype) == jnp.int8:
+        _check_int8_metric(metric)
+        c_np = np.asarray(corpus)
+        nrm = np.linalg.norm(c_np, axis=1, keepdims=True)
+        scale = float(
+            np.abs(c_np / np.maximum(nrm, 1e-12)).max() / 127.0)
     data, row_map, aligned_starts, norms = layout_arrays_host(
         table.row_ids, table.starts, counts_np, corpus,
         cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
-        align=align,
+        align=align, scale=scale,
     )
     return ServingLayout(
         data=jnp.asarray(data), row_map=jnp.asarray(row_map),
@@ -337,6 +392,7 @@ def serving_layout_host(table, corpus, metric: str = "cosine",
         total_blocks=total_blocks,
         norms=None if norms is None else jnp.asarray(norms),
         block_rows=br,
+        scale=None if scale is None else jnp.asarray(scale, jnp.float32),
     )
 
 

@@ -185,6 +185,13 @@ class MultiTableIndexer:
         self.mesh = mesh
         self.engine = engine  # setter: validates, resolves "auto"
         self.serving_dtype = serving_dtype or jnp.float32
+        if jnp.dtype(self.serving_dtype) == jnp.int8:
+            # the stacked L-table layout builder has no global-scale
+            # plumbing yet; the single-table and sharded indexers do
+            raise NotImplementedError(
+                "int8 serving layouts are not supported for multi-table "
+                "ensembles; use float32/bfloat16"
+            )
         self._query_cache: dict = {}
         self._stacked = None
         self._g_cal: int | None = None  # set by :meth:`calibrate`

@@ -325,12 +325,21 @@ class ShardedIndexer:
             corpus_host = self._corpus_host
             if corpus_host is None:
                 corpus_host = np.asarray(self.corpus)
+            # int8: ONE global scale over all shards — the cross-shard
+            # top-k merge compares scores, so every shard must dequant
+            # to the same units (padding rows past n_real are zeros and
+            # cannot raise the max)
+            scale = None
+            if jnp.dtype(dtype) == jnp.int8:
+                nrm = np.linalg.norm(corpus_host, axis=1, keepdims=True)
+                scale = float(np.abs(
+                    corpus_host / np.maximum(nrm, 1e-12)).max() / 127.0)
             parts = [
                 layout_arrays_host(
                     rids[s], starts_np[s], counts_np[s],
                     corpus_host[s * self.n_local:(s + 1) * self.n_local],
                     cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
-                    align=align,
+                    align=align, scale=scale,
                 )
                 for s in range(n_dev)
             ]
@@ -343,9 +352,16 @@ class ShardedIndexer:
             norms = (put([p[3] for p in parts], P(axis, None))
                      if euclid else None)
             self._layouts = (data, row_map, astarts, norms, cap, align,
-                             total_blocks)
+                             total_blocks, scale)
             self._layouts_sig = sig
             return self._layouts
+
+        scale = None
+        if jnp.dtype(dtype) == jnp.int8:
+            # global scale (see host path); one tiny eager reduction
+            nrm = jnp.linalg.norm(self.corpus, axis=1, keepdims=True)
+            scale = float(jnp.max(
+                jnp.abs(self.corpus / jnp.maximum(nrm, 1e-12))) / 127.0)
 
         @jax.jit
         @partial(
@@ -361,6 +377,7 @@ class ShardedIndexer:
                 row_ids, starts[0], counts[0], corpus_local,
                 cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
                 align=align,
+                scale=None if scale is None else jnp.float32(scale),
             )
             if norms is None:  # uniform output structure across metrics
                 norms = jnp.zeros((0,), jnp.float32)
@@ -372,7 +389,7 @@ class ShardedIndexer:
         if not euclid:
             norms = None
         self._layouts = (data, row_map, astarts, norms, cap, align,
-                         total_blocks)
+                         total_blocks, scale)
         self._layouts_sig = sig
         return self._layouts
 
@@ -398,9 +415,10 @@ class ShardedIndexer:
         )
         from nlsh_tpu.ops.pallas.query_kernel import ServingLayout, _br
 
-        data, row_map, astarts, norms, cap, align, total_blocks = (
+        data, row_map, astarts, norms, cap, align, total_blocks, scale = (
             self._build_layouts()
         )
+        scale = None if scale is None else jnp.float32(scale)
         br = _br(self.block_rows)
         d_pad = data.shape[-1]
         axis, metric, n_local = self.axis, self.metric, self.n_local
@@ -424,7 +442,7 @@ class ShardedIndexer:
                     data=data[0], row_map=row_map[0], starts=astarts[0],
                     counts=counts[0], cap=cap, d_pad=d_pad, align=align,
                     metric=metric, norms=norms[0] if has_norms else None,
-                    total_blocks=total_blocks, block_rows=br,
+                    total_blocks=total_blocks, block_rows=br, scale=scale,
                 )
                 if engine == "pallas-grouped":
                     ids, _, ncand = serving_query_grouped(
@@ -460,7 +478,7 @@ class ShardedIndexer:
                 data=data[0], row_map=row_map[0], starts=astarts[0],
                 counts=counts[0], cap=cap, d_pad=d_pad, align=align,
                 metric=metric, norms=norms[0] if has_norms else None,
-                total_blocks=total_blocks, block_rows=br,
+                total_blocks=total_blocks, block_rows=br, scale=scale,
             )
             serve = {
                 "pallas-grouped": serving_query_grouped,
@@ -555,7 +573,8 @@ class ShardedIndexer:
                                          "sq_euclidean")
         if engine in ("pallas", "pallas-grouped",
                       "pallas-windowed") and serving_metric:
-            data, row_map, astarts, norms, cap, _, _ = self._build_layouts()
+            data, row_map, astarts, norms, cap, _, _, _ = (
+                self._build_layouts())
             if norms is None:
                 norms = jnp.zeros((data.shape[0], 0), jnp.float32)
             g_override = None

@@ -116,6 +116,53 @@ def test_sharded_pallas_serving_matches_xla(data):
     assert (np.sort(p_top, 1) == np.sort(x_top, 1)).mean() > 0.99
 
 
+def test_sharded_int8_matches_single_table_int8(data):
+    """int8 sharded serving: the global dequant scale must make the
+    cross-shard score merge rank like the single-table int8 engine (one
+    scale everywhere -> same units), and track the f32 result closely."""
+    hashing = _hashing()
+    params = hashing.init(jax.random.PRNGKey(0))
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    key = jax.random.PRNGKey(7)
+    k = 5
+
+    single8 = Indexer(hashing, params, corpus, metric="cosine",
+                      engine="pallas-grouped", serving_dtype=jnp.int8)
+    s_top, s_cand = single8.query(queries, k=k, hash_times=4, key=key)
+
+    mesh = make_mesh(4, axis="shard")
+    sharded8 = ShardedIndexer(hashing, params, corpus, mesh,
+                              metric="cosine", engine="pallas-grouped",
+                              serving_dtype=jnp.int8)
+    m_top, m_cand = sharded8.query(queries, k=k, hash_times=4, key=key)
+    np.testing.assert_array_equal(np.asarray(m_cand), np.asarray(s_cand))
+    same = np.mean([
+        len(set(np.asarray(s_top)[i]) & set(np.asarray(m_top)[i])) / k
+        for i in range(s_top.shape[0])
+    ])
+    assert same > 0.99, f"sharded int8 vs single int8 agreement {same:.3f}"
+
+    # quality vs f32: id agreement is the wrong measure on this
+    # tightly-clustered 8-dim fixture (quantisation flips near-ties
+    # freely) — assert bounded SCORE regret instead: int8's top-1 must
+    # cosine-score within the quantisation error bound of f32's top-1
+    f32 = Indexer(hashing, params, corpus, metric="cosine",
+                  engine="pallas-grouped")
+    f_top, _ = f32.query(queries, k=k, hash_times=4, key=key)
+    c = np.asarray(corpus)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    q = np.asarray(queries)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    bound = c.shape[1] * float(single8.layout.scale) + 1e-5
+    f_np, m_np = np.asarray(f_top), np.asarray(m_top)
+    for i in range(q.shape[0]):
+        if f_np[i, 0] < 0 or m_np[i, 0] < 0:
+            continue
+        regret = float(q[i] @ c[f_np[i, 0]] - q[i] @ c[m_np[i, 0]])
+        assert regret <= bound, f"query {i}: top-1 regret {regret:.4f}"
+
+
 def test_sharded_index_nondivisible_corpus():
     """Corpus size not divisible by shard count: padding rows must never
     be returned."""

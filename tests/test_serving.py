@@ -126,13 +126,17 @@ def test_indexer_pallas_engine_matches_xla():
 
 
 @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
-@pytest.mark.parametrize("dtype", ["f32", "bf16"])
+@pytest.mark.parametrize("dtype", ["f32", "bf16", "int8"])
 def test_host_layout_matches_device_layout(metric, dtype):
     """layout_arrays_host must be bit-identical to the traced builder —
-    it replaces it above Indexer.HOST_LAYOUT_ROWS (config 5 path)."""
+    it replaces it above Indexer.HOST_LAYOUT_ROWS (config 5 path).
+    int8 covers the quantisation too (round-half-even on both sides)."""
     from nlsh_tpu.ops.pallas.query_kernel import serving_layout_host
 
-    dt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    if dtype == "int8" and metric == "euclidean":
+        pytest.skip("int8 layouts are cosine-only")
+    dt = {"bf16": jnp.bfloat16, "int8": jnp.int8,
+          "f32": jnp.float32}[dtype]
     rng = np.random.default_rng(7)
     n, d, nb = 700, 20, 32
     corpus = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
@@ -613,6 +617,74 @@ def test_indexer_save_load_roundtrip(tmp_path):
     mid_edited[n // 2, 0] += 1.0
     with pytest.raises(ValueError, match="different corpus"):
         Indexer.load(path, hashing, params, jnp.asarray(mid_edited))
+
+
+@pytest.mark.parametrize("engine", ["pallas", "pallas-grouped",
+                                    "pallas-windowed"])
+def test_int8_layout_matches_f32_engine(engine):
+    """int8 serving layouts (cosine): same engine on the same table at
+    int8 storage must rank ~identically to f32 (quantisation moves only
+    near-ties) and return DEQUANTISED scores in exact-dot units."""
+    rng = np.random.default_rng(11)
+    n, d, nq, k = 800, 32, 24, 5
+    # clustered unit-sphere corpus: the realistic (hardest) case
+    centers = rng.normal(size=(16, d)).astype(np.float32)
+    pts = centers[rng.integers(0, 16, n + nq)] + 0.3 * rng.normal(
+        size=(n + nq, d)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    corpus = jnp.asarray(pts[:n])
+    queries = jnp.asarray(pts[n:])
+    hashing = MultivariateBernoulli(MLPEncoder(d, (32,)), 5)
+    params = hashing.init(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(1)
+    idx32 = Indexer(hashing, params, corpus, engine=engine)
+    top32, cand32 = idx32.query(queries, k=k, hash_times=4,
+                                probe_mode="flip", key=key)
+    idx8 = Indexer(hashing, params, corpus, engine=engine,
+                   serving_dtype=jnp.int8)
+    assert idx8.layout.scale is not None
+    top8, cand8 = idx8.query(queries, k=k, hash_times=4,
+                             probe_mode="flip", key=key)
+    np.testing.assert_array_equal(np.asarray(cand8), np.asarray(cand32))
+    a32, a8 = np.asarray(top32), np.asarray(top8)
+    agree = np.mean([
+        len(set(a32[i]) & set(a8[i])) / k for i in range(nq)
+    ])
+    assert agree >= 0.9, f"int8 vs f32 top-{k} agreement {agree:.3f}"
+
+    # dequantised scores: the engine's top-1 score must match the exact
+    # dot of the id it returned, within the quantisation error bound
+    # (d * scale/2 per dot, loose)
+    from nlsh_tpu.index.serving import (
+        serving_query, serving_query_grouped, serving_query_windowed,
+    )
+    serve = {"pallas": serving_query,
+             "pallas-grouped": serving_query_grouped,
+             "pallas-windowed": serving_query_windowed}[engine]
+    pids, pvalid = hashing.hash(params, queries, n_probes=4, key=key,
+                                probe_mode="flip")
+    ids, scores, _ = serve(idx8.layout, queries, pids, pvalid,
+                           idx8.table.counts, k=k, interpret=True)
+    ids, scores = np.asarray(ids), np.asarray(scores)
+    qn = pts[n:]
+    bound = d * float(idx8.layout.scale) / 2 + 1e-4
+    for i in range(nq):
+        if ids[i, 0] < 0:
+            continue
+        exact = float(qn[i] @ pts[ids[i, 0]])
+        assert abs(scores[i, 0] - exact) <= bound
+
+
+def test_int8_layout_rejects_euclidean():
+    rng = np.random.default_rng(12)
+    corpus = jnp.asarray(rng.normal(size=(200, 16)).astype(np.float32))
+    hashing = MultivariateBernoulli(MLPEncoder(16, (16,)), 4)
+    params = hashing.init(jax.random.PRNGKey(0))
+    idx = Indexer(hashing, params, corpus, metric="euclidean",
+                  serving_dtype=jnp.int8)
+    with pytest.raises(ValueError, match="cosine"):
+        _ = idx.layout
 
 
 def test_indexer_load_stale_fingerprint_format(tmp_path):
