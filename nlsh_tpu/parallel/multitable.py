@@ -186,12 +186,9 @@ class MultiTableIndexer:
         self.engine = engine  # setter: validates, resolves "auto"
         self.serving_dtype = serving_dtype or jnp.float32
         if jnp.dtype(self.serving_dtype) == jnp.int8:
-            # the stacked L-table layout builder has no global-scale
-            # plumbing yet; the single-table and sharded indexers do
-            raise NotImplementedError(
-                "int8 serving layouts are not supported for multi-table "
-                "ensembles; use float32/bfloat16"
-            )
+            from nlsh_tpu.ops.pallas.query_kernel import _check_int8_metric
+
+            _check_int8_metric(metric)  # cosine-only, fail at init
         self._query_cache: dict = {}
         self._stacked = None
         self._g_cal: int | None = None  # set by :meth:`calibrate`
@@ -511,8 +508,19 @@ class MultiTableIndexer:
         ))
         metric, dtype = self.metric, self.serving_dtype
 
+        # int8: ONE global scale over the shared corpus — every table
+        # quantises the same rows, and table-sharded serving merges
+        # scores across devices, so all L layouts must dequant to the
+        # same units (exactly the ShardedIndexer argument)
+        scale = None
+        if jnp.dtype(dtype) == jnp.int8:
+            nrm = jnp.linalg.norm(self.corpus, axis=1, keepdims=True)
+            scale = jnp.asarray(
+                jnp.max(jnp.abs(self.corpus / jnp.maximum(nrm, 1e-12)))
+                / 127.0, jnp.float32)
+
         build = partial(layout_arrays, cap=cap, n_aligned=n_aligned,
-                        metric=metric, dtype=dtype, align=align)
+                        metric=metric, dtype=dtype, align=align, scale=scale)
 
         # sequential over tables (lax.map): peak transient memory stays
         # one table's sort+scatter, not L of them
@@ -540,14 +548,14 @@ class MultiTableIndexer:
             if norms is not None:
                 norms = jax.device_put(norms, spec(self.axis, None))
         self._stacked = (data, row_map, astarts, norms, cap, align,
-                         n_aligned, total_blocks)
+                         n_aligned, total_blocks, scale)
         self._stacked_sig = sig
         return self._stacked
 
     @staticmethod
     def _flat_layout(data, row_map, astarts, norms, counts, cap, align,
                      n_aligned, total_blocks, metric,
-                     block_rows: int = 0):
+                     block_rows: int = 0, scale=None):
         """Collapse a (Lc, ...) per-table stack into one flat layout over
         Lc * NB buckets (table-major).  Exact flat block indices need
         ``n_aligned % align == 0`` (aligned_rows guarantees it)."""
@@ -563,7 +571,7 @@ class MultiTableIndexer:
             cap=cap, d_pad=data.shape[-1], align=align, metric=metric,
             total_blocks=total_blocks,
             norms=None if norms is None else norms.reshape(-1),
-            block_rows=block_rows,
+            block_rows=block_rows, scale=scale,
         )
 
     @staticmethod
@@ -730,13 +738,12 @@ class MultiTableIndexer:
         wrapper itself is cheap to rebuild)."""
         from nlsh_tpu.ops.pallas.query_kernel import _br
 
-        data, row_map, astarts, norms, cap, align, n_aligned, total_blocks = (
-            self._build_stacked()
-        )
+        (data, row_map, astarts, norms, cap, align, n_aligned,
+         total_blocks, scale) = self._build_stacked()
         return self._flat_layout(
             data, row_map, astarts, norms, self.counts, cap, align,
             n_aligned, total_blocks, self.metric,
-            block_rows=_br(self.block_rows),
+            block_rows=_br(self.block_rows), scale=scale,
         )
 
     def _query_serving(self, queries, pids, pvalid, k: int, engine: str):
@@ -875,18 +882,19 @@ class MultiTableIndexer:
             serving_query, serving_query_grouped, serving_query_windowed,
         )
 
-        data, row_map, astarts, norms, cap, align, n_aligned, total_blocks = (
-            self._build_stacked()
-        )
+        (data, row_map, astarts, norms, cap, align, n_aligned,
+         total_blocks, scale) = self._build_stacked()
         from nlsh_tpu.ops.pallas.query_kernel import _br
 
         br = _br(self.block_rows)
         # the cached program closes over the stacked layout's scalar
-        # geometry (cap/align/n_aligned/total_blocks/br) — key on them
-        # so a knob change that rebuilt the stack cannot pair new
-        # arrays with a program compiled for the old geometry
+        # geometry (cap/align/n_aligned/total_blocks/br) AND the int8
+        # dequant scale — key on geometry + dtype so a knob change that
+        # rebuilt the stack cannot pair new arrays with a program
+        # compiled for the old geometry (or a stale/missing scale)
         cache_key = ("serving", k, engine, queries.shape[0], pids.shape[-1],
-                     cap, align, n_aligned, total_blocks, br)
+                     cap, align, n_aligned, total_blocks, br,
+                     jnp.dtype(self.serving_dtype).name)
         if cache_key not in self._query_cache:
             axis = self.axis
             nb = self.hashing.n_buckets
@@ -917,7 +925,7 @@ class MultiTableIndexer:
                 layout = flat_layout(
                     data, row_map, astarts, norms if has_norms else None,
                     counts, cap, align, n_aligned, total_blocks, metric,
-                    block_rows=br,
+                    block_rows=br, scale=scale,
                 )
                 gp = (jnp.moveaxis(pids, 0, 1)
                       + (jnp.arange(lc, dtype=jnp.int32) * nb)[None, :, None])

@@ -254,6 +254,74 @@ def test_multitable_sharded_matches_unsharded(data):
     assert (np.sort(p_top, 1) == np.sort(s_top, 1)).mean() > 0.99
 
 
+def test_multitable_int8_matches_f32(data):
+    """int8 stacked layouts: one global scale over the shared corpus, so
+    plain AND table-sharded ensembles must rank candidates by the exact
+    quantised dot (faithful int8 max-selection), with dequantised scores
+    merging correctly across devices.  At dim=8 quantisation legitimately
+    reorders near-ties vs f32 (brute-force int8 agreement here is 0.764),
+    so the assertion is against the host int8 reference, not a fixed
+    f32-agreement threshold."""
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    stacked = init_multi_table(hashing, 4, jax.random.PRNGKey(9))
+    k = 5
+
+    f32 = MultiTableIndexer(hashing, stacked, corpus, metric="cosine",
+                            engine="pallas-grouped")
+    f_top, f_cand = f32.query(queries, k=k, hash_times=1)
+    i8 = MultiTableIndexer(hashing, stacked, corpus, metric="cosine",
+                           engine="pallas-grouped",
+                           serving_dtype=jnp.int8)
+    i_top, i_cand = i8.query(queries, k=k, hash_times=1)
+    np.testing.assert_array_equal(np.asarray(i_cand), np.asarray(f_cand))
+
+    # Host int8 reference scoring: same quantisation as the layout
+    # (one global scale over the unit-normalised shared corpus).
+    C = np.asarray(corpus, np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    scl = np.abs(Cn).max() / 127.0
+    C8 = np.clip(np.round(Cn / scl), -127, 127)
+    Qf = np.asarray(queries, np.float64)
+    s8 = Qf @ C8.T  # per-query monotone in the dequantised score
+
+    # Both indexers probed identical candidate sets (cand counts equal,
+    # same tables/probes), and f_top is a subset of those candidates —
+    # so a faithful int8 engine must select ids whose int8 score is >=
+    # the int8 score of every f32 pick it dropped (near-ties aside).
+    it, ft = np.asarray(i_top), np.asarray(f_top)
+    eps = 1e-5
+    for q in range(it.shape[0]):
+        picked = it[q][it[q] >= 0]
+        dropped = [r for r in ft[q] if r >= 0 and r not in set(picked)]
+        if not dropped or len(picked) == 0:
+            continue
+        assert s8[q, picked].min() >= s8[q, dropped].max() - eps, (
+            f"query {q}: int8 engine kept a worse id than an f32 pick "
+            f"under int8 scoring"
+        )
+
+    mesh = make_mesh(4, axis="table")
+    sh8 = MultiTableIndexer(hashing, stacked, corpus, metric="cosine",
+                            engine="pallas-grouped", mesh=mesh,
+                            serving_dtype=jnp.int8)
+    s_top, _ = sh8.query(queries, k=k, hash_times=1)
+    same = np.mean([
+        len(set(np.asarray(i_top)[i]) & set(np.asarray(s_top)[i])) / k
+        for i in range(i_top.shape[0])
+    ])
+    assert same > 0.99, f"sharded int8 vs plain int8 agreement {same:.3f}"
+
+
+def test_multitable_int8_rejects_euclidean(data):
+    hashing = _hashing()
+    stacked = init_multi_table(hashing, 2, jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="cosine"):
+        MultiTableIndexer(hashing, stacked, jnp.asarray(data.training),
+                          metric="euclidean", serving_dtype=jnp.int8)
+
+
 def test_sharded_grouped_and_host_layout_match_xla(data):
     """New round-2 engine surface: pallas-grouped under shard_map and
     the host-built layout must both reproduce the sharded XLA path."""
