@@ -45,7 +45,10 @@ def nlsh_serve_argparse() -> argparse.ArgumentParser:
                    choices=["sample", "flip"])
     p.add_argument("--engine", default="auto")
     p.add_argument("--serving_dtype", default="f32",
-                   choices=["f32", "bf16"])
+                   choices=["f32", "bf16", "int8"],
+                   help="corpus storage dtype for the serving layout "
+                        "(int8 is cosine-only: one global scale, scores "
+                        "dequantised after top-k)")
     p.add_argument("--shards", type=int, default=0,
                    help="shard the corpus over an N-device mesh "
                         "(0 = single-table / multi-table by artifact)")
@@ -78,7 +81,8 @@ def _load_queries(args, data):
 def _build_indexer(args, hashing, params, corpus, n_tables):
     import os
 
-    dtype = jnp.bfloat16 if args.serving_dtype == "bf16" else jnp.float32
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+             "int8": jnp.int8}[args.serving_dtype]
     if args.shards:
         from nlsh_tpu.parallel import ShardedIndexer, make_mesh
 
