@@ -51,10 +51,11 @@ def _mt_query_chunk(L: int, n_probes: int, budget: int, dim: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("hashing", "k", "hash_times", "engine",
-                                   "n_rows", "g_override"))
+                                   "n_rows", "g_override", "probe_mode"))
 def _fused_mt_serve(hashing, stacked_params, layout, queries, key,
                     k: int, hash_times: int, engine: str, n_rows: int,
-                    g_override: int | None = None):
+                    g_override: int | None = None,
+                    probe_mode: str = "sample"):
     """Probe-hash all L tables + stacked serve + duplicate collapse +
     pack ``[topk_ids | n_cand]`` in ONE compiled program.
 
@@ -78,7 +79,7 @@ def _fused_mt_serve(hashing, stacked_params, layout, queries, key,
     else:
         pids, pvalid = jax.vmap(
             lambda p, k_: hashing.hash(p, queries, n_probes=hash_times,
-                                       key=k_)
+                                       key=k_, probe_mode=probe_mode)
         )(stacked_params, keys)
     nq = queries.shape[0]
     gp = (jnp.moveaxis(pids, 0, 1)
@@ -137,10 +138,12 @@ def _fused_mt_serve(hashing, stacked_params, layout, queries, key,
 
 
 @partial(jax.jit, static_argnames=("hashing", "k", "hash_times", "engine",
-                                   "n_rows", "g_override", "repeats"))
+                                   "n_rows", "g_override", "repeats",
+                                   "probe_mode"))
 def _fused_mt_serve_batched(hashing, stacked_params, layout, queries, key,
                             k: int, hash_times: int, engine: str, n_rows: int,
-                            repeats: int, g_override: int | None = None):
+                            repeats: int, g_override: int | None = None,
+                            probe_mode: str = "sample"):
     """``repeats`` full :func:`_fused_mt_serve` batches inside ONE
     compiled program (``lax.map``), returning ``(repeats, nq, k+1)`` —
     the multi-table analogue of the single-table
@@ -155,7 +158,7 @@ def _fused_mt_serve_batched(hashing, stacked_params, layout, queries, key,
         return _fused_mt_serve(
             hashing, stacked_params, layout, qs, jax.random.fold_in(key, i),
             k=k, hash_times=hash_times, engine=engine, n_rows=n_rows,
-            g_override=g_override,
+            g_override=g_override, probe_mode=probe_mode,
         )
 
     return jax.lax.map(one, jnp.arange(repeats, dtype=jnp.int32))
@@ -649,7 +652,8 @@ class MultiTableIndexer:
         return nd.reshape(-1)[:nq]
 
     def exact_query_size(self, queries, hash_times: int = 1, key=None,
-                         query_chunk: int | None = None) -> np.ndarray:
+                         query_chunk: int | None = None,
+                         probe_mode: str = "sample") -> np.ndarray:
         """Exact distinct-candidate count per query (``(nq,)`` int32) —
         the reference ``query_size`` axis, independent of the serving
         engine.
@@ -671,7 +675,7 @@ class MultiTableIndexer:
         if key is None:
             key = jax.random.PRNGKey(0)
         queries = jnp.asarray(queries)
-        pids, pvalid = self._probes(queries, hash_times, key)
+        pids, pvalid = self._probes(queries, hash_times, key, probe_mode)
         if query_chunk is None:
             query_chunk = _mt_query_chunk(
                 self.n_tables, hash_times, self.probe_budget, 1
@@ -683,7 +687,7 @@ class MultiTableIndexer:
         ))
 
     def calibrate(self, queries, hash_times: int = 1, key=None,
-                  margin: float = 1.1) -> int:
+                  margin: float = 1.1, probe_mode: str = "sample") -> int:
         """One-time serving calibration for the windowed engine.
 
         The static windowed group bound must hold for ANY batch, so it
@@ -710,7 +714,7 @@ class MultiTableIndexer:
         queries = jnp.asarray(queries)
         layout = self._serving_layout()
         br = layout.br
-        pids, pvalid = self._probes(queries, hash_times, key)
+        pids, pvalid = self._probes(queries, hash_times, key, probe_mode)
         nb = self.hashing.n_buckets
         L = self.n_tables
         gp = (jnp.moveaxis(pids, 0, 1)
@@ -959,14 +963,16 @@ class MultiTableIndexer:
         )
         return merged, n_cand
 
-    def _probes(self, queries, hash_times: int, key):
+    def _probes(self, queries, hash_times: int, key,
+                probe_mode: str = "sample"):
         """Per-table probe ids/validity ``(L, nq, P)`` — shared by the
         query paths and :meth:`exact_query_size` so both see the same
         buckets for the same ``key``."""
         keys = jax.random.split(key, self.n_tables)
 
         def per_table_hash(p, k_):
-            return self.hashing.hash(p, queries, n_probes=hash_times, key=k_)
+            return self.hashing.hash(p, queries, n_probes=hash_times,
+                                     key=k_, probe_mode=probe_mode)
 
         if hash_times == 1:
             return jax.vmap(
@@ -975,11 +981,16 @@ class MultiTableIndexer:
         return jax.vmap(per_table_hash)(self.params, keys)
 
     def query_async(self, queries, k: int = 10, hash_times: int = 1,
-                    key=None):
+                    key=None, probe_mode: str = "sample"):
         """Dispatch an ensemble query without fetching (see
         :meth:`fetch`); ``hash_times=1`` (hard probe per table) is the
         typical multi-table operating point — the ensemble provides the
-        recall that multi-probe provides a single table."""
+        recall that multi-probe provides a single table.
+
+        ``probe_mode="flip"`` with ``hash_times>1`` probes each table's
+        ``hash_times`` best-first bit-flip buckets deterministically —
+        the single-table frontier finding (sampled probes collapse
+        under dedupe) applies per table here too."""
         import os
 
         if key is None:
@@ -1013,15 +1024,16 @@ class MultiTableIndexer:
                         self.hashing, self.params, self._serving_layout(),
                         queries, key, k=k, hash_times=hash_times,
                         engine=engine, n_rows=self.corpus.shape[0],
-                        g_override=g_cal,
+                        g_override=g_cal, probe_mode=probe_mode,
                     )
-                pids, pvalid = self._probes(queries, hash_times, key)
+                pids, pvalid = self._probes(queries, hash_times, key,
+                                            probe_mode)
                 return self._query_serving(queries, pids, pvalid, k, engine)
-            pids, pvalid = self._probes(queries, hash_times, key)
+            pids, pvalid = self._probes(queries, hash_times, key, probe_mode)
             return self._query_serving_sharded(
                 queries, pids, pvalid, k, engine
             )
-        pids, pvalid = self._probes(queries, hash_times, key)
+        pids, pvalid = self._probes(queries, hash_times, key, probe_mode)
 
         chunk = _mt_query_chunk(
             self.n_tables, hash_times, self.probe_budget, queries.shape[1]
@@ -1043,7 +1055,8 @@ class MultiTableIndexer:
         packed = np.asarray(result)  # ONE host fetch of (nq, k+1)
         return packed[:, :-1], packed[:, -1]
 
-    def query(self, queries, k: int = 10, hash_times: int = 1, key=None):
+    def query(self, queries, k: int = 10, hash_times: int = 1, key=None,
+              probe_mode: str = "sample"):
         """Query the ensemble (fetching variant of :meth:`query_async`).
 
         Returns ``(topk_ids (nq, k), n_candidates (nq,))`` —
@@ -1053,4 +1066,5 @@ class MultiTableIndexer:
         """
         return self.fetch(self.query_async(
             queries, k=k, hash_times=hash_times, key=key,
+            probe_mode=probe_mode,
         ))

@@ -363,6 +363,45 @@ def test_multitable_stacked_engines_match_xla(data, engine):
     assert (np.sort(p_top, 1) == np.sort(x_top, 1)).mean() > 0.99
 
 
+def test_multitable_flip_probes(data):
+    """`probe_mode="flip"` on the ensemble: deterministic (same ids for
+    any key), monotone in hash_times (flip probes are supersets), and
+    engine-consistent (Pallas stacked serve == XLA union-rerank)."""
+    from nlsh_tpu.parallel.multitable import (
+        MultiTableIndexer, init_multi_table,
+    )
+
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    params = init_multi_table(hashing, 4, jax.random.PRNGKey(3))
+    gt = np.asarray(data.ground_truth)[:, :5]
+
+    mx = MultiTableIndexer(hashing, params, corpus, engine="xla")
+    t_a, c_a = mx.query(queries, k=5, hash_times=4,
+                        key=jax.random.PRNGKey(1), probe_mode="flip")
+    t_b, c_b = mx.query(queries, k=5, hash_times=4,
+                        key=jax.random.PRNGKey(999), probe_mode="flip")
+    np.testing.assert_array_equal(t_a, t_b)  # key-independent
+    np.testing.assert_array_equal(c_a, c_b)
+
+    t1, c1 = mx.query(queries, k=5, hash_times=1)
+    # flip probes widen (or at tiny fixture scale, saturate) the union
+    assert (c_a >= c1).all()
+    r_flip = calculate_recall(gt, t_a, np.mean)
+    r_hard = calculate_recall(gt, t1, np.mean)
+    assert r_flip >= r_hard  # superset probing can only help
+
+    mp = MultiTableIndexer(hashing, params, corpus,
+                           engine="pallas-windowed")
+    p_top, _ = mp.query(queries, k=5, hash_times=4, probe_mode="flip")
+    assert (np.sort(p_top, 1) == np.sort(t_a, 1)).mean() > 0.99
+
+    # exact_query_size sees the same flip buckets as the query path
+    qs = mx.exact_query_size(queries, hash_times=4, probe_mode="flip")
+    np.testing.assert_array_equal(qs, c_a)
+
+
 @pytest.mark.parametrize("engine", ["pallas", "pallas-grouped", "pallas-windowed"])
 def test_multitable_sharded_stacked_matches_unsharded(data, engine):
     """Table-sharded stacked serving (mesh) == unsharded stacked."""
