@@ -245,9 +245,9 @@ def main(argv: list[str] | None = None) -> dict:
     data = get_data_by_id(args.data_id).load()
     corpus = np.asarray(data.training)
     queries_np, gt = _load_queries(args, data)
-    # multi-table query() signature has no probe_mode (ensembles probe
-    # per table); single/sharded take it
-    extra = {} if n_tables else {"probe_mode": args.probe_mode}
+    # every indexer takes probe_mode now (round 4: ensembles probe each
+    # table's flip buckets deterministically too)
+    extra = {"probe_mode": args.probe_mode}
 
     t0 = time.perf_counter()
     idx = _build_indexer(args, hashing, params, corpus, n_tables)
