@@ -42,7 +42,8 @@ def nlsh_eval_argparse() -> argparse.ArgumentParser:
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--max_probes", type=int, default=100)
     p.add_argument("--engine", default="auto",
-                   choices=("auto", "xla", "pallas", "pallas-grouped"))
+                   choices=("auto", "xla", "pallas", "pallas-grouped",
+                            "pallas-windowed"))
     p.add_argument("--probe_mode", default="sample",
                    choices=("sample", "flip"))
     p.add_argument("--seed", type=int, default=0)
@@ -115,14 +116,15 @@ def run_sweep(hashing, params, corpus, queries, ground_truth, k,
         probe_mode=probe_mode,
     )
 
-    use_pallas = engine in ("pallas", "pallas-grouped") or (
+    use_pallas = engine in ("pallas", "pallas-grouped",
+                            "pallas-windowed") or (
         engine == "auto"
         and jax.default_backend() == "tpu"
         and metric in ("cosine", "euclidean", "sq_euclidean")
     )
     if use_pallas:
         from nlsh_tpu.index.serving import (
-            serving_query, serving_query_grouped,
+            serving_query, serving_query_grouped, serving_query_windowed,
         )
         from nlsh_tpu.ops.pallas.query_kernel import (
             serving_layout, serving_layout_host,
@@ -133,10 +135,14 @@ def run_sweep(hashing, params, corpus, queries, ground_truth, k,
         build = (serving_layout_host
                  if corpus.shape[0] >= 2_000_000 else serving_layout)
         grouped = engine == "pallas-grouped"
+        windowed = engine == "pallas-windowed"
         layout = build(table, corpus, metric=metric, cap=probe_budget,
                        dtype=serving_dtype or jnp.float32,
-                       align=BLOCK_ROWS if grouped else None)
-        serve = serving_query_grouped if grouped else serving_query
+                       align=(BLOCK_ROWS if grouped
+                              else 8 if windowed else None))
+        serve = (serving_query_grouped if grouped
+                 else serving_query_windowed if windowed
+                 else serving_query)
 
         def step(n):
             live = jnp.arange(max_probes)[None, :] < n
@@ -167,6 +173,38 @@ def run_sweep(hashing, params, corpus, queries, ground_truth, k,
     return results
 
 
+def run_sweep_multitable(hashing, stacked_params, corpus, queries,
+                         ground_truth, k, n_tables, max_probes=100,
+                         metric="cosine", seed=0, engine="auto",
+                         probe_mode="sample", serving_dtype=None):
+    """Ensemble sweep: per-table probe count ``ht = 1..max_probes/L``
+    (each step adds L buckets to the union, so the candidate axis grows
+    at the same rate as the single-table sweep's).  No reference
+    counterpart (the reference trains exactly one hashing);
+    ``avg_n_candidates`` is the exact distinct union size
+    (`MultiTableIndexer.exact_query_size`), engine-independent."""
+    from nlsh_tpu.parallel import MultiTableIndexer
+
+    idx = MultiTableIndexer(hashing, stacked_params, corpus, metric=metric,
+                            engine=engine, serving_dtype=serving_dtype)
+    key = jax.random.PRNGKey(seed)
+    results = []
+    for ht in range(1, max(max_probes // n_tables, 1) + 1):
+        topk, _ = idx.query(queries, k=k, hash_times=ht, key=key,
+                            probe_mode=probe_mode)
+        n_cand = idx.exact_query_size(queries, hash_times=ht, key=key,
+                                      probe_mode=probe_mode)
+        recall = calculate_recall(ground_truth[:, :k], np.asarray(topk),
+                                  np.mean)
+        results.append({
+            "n_probes": ht * n_tables,
+            "hash_times": ht,
+            "avg_n_candidates": float(np.mean(n_cand)),
+            "recall": float(recall),
+        })
+    return results
+
+
 def main(argv: list[str] | None = None):
     args = nlsh_eval_argparse().parse_args(argv)
     model_path = args.model_path
@@ -180,13 +218,28 @@ def main(argv: list[str] | None = None):
     hashing, params = load_model(model_path)
     data = get_data_by_id(args.data_id).load()
 
-    results = run_sweep(
-        hashing, params,
-        jnp.asarray(data.training), jnp.asarray(data.testing),
-        np.asarray(data.ground_truth), args.k,
-        max_probes=args.max_probes, metric=data.metric, seed=args.seed,
-        engine=args.engine, probe_mode=args.probe_mode,
-    )
+    for suffix in (".json", ".msgpack"):
+        if model_path.endswith(suffix):
+            model_path = model_path[: -len(suffix)]
+    with open(model_path + ".json") as f:
+        n_tables = json.load(f).get("n_tables")
+
+    if n_tables and n_tables > 1:
+        results = run_sweep_multitable(
+            hashing, params,
+            jnp.asarray(data.training), jnp.asarray(data.testing),
+            np.asarray(data.ground_truth), args.k, n_tables,
+            max_probes=args.max_probes, metric=data.metric, seed=args.seed,
+            engine=args.engine, probe_mode=args.probe_mode,
+        )
+    else:
+        results = run_sweep(
+            hashing, params,
+            jnp.asarray(data.training), jnp.asarray(data.testing),
+            np.asarray(data.ground_truth), args.k,
+            max_probes=args.max_probes, metric=data.metric, seed=args.seed,
+            engine=args.engine, probe_mode=args.probe_mode,
+        )
     for r in results:
         print(r["avg_n_candidates"], r["recall"])
     if args.json_out:

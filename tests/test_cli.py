@@ -132,6 +132,29 @@ def test_eval_cli_end_to_end(tmp_path, monkeypatch, capsys):
     assert len(printed) == 4  # (avg_n_candidates, recall) per probe count
 
 
+def test_eval_cli_multitable(tmp_path):
+    """A stacked (n_tables) artifact routes to the ensemble sweep:
+    per-table probe counts, exact distinct candidate counts."""
+    from nlsh_tpu.parallel.multitable import init_multi_table
+    from nlsh_tpu.utils.checkpoint import save_model
+
+    hashing = MultivariateBernoulli(MLPEncoder(32, (16,)), 4)
+    stacked = init_multi_table(hashing, 2, jax.random.PRNGKey(0))
+    base = str(tmp_path / "mt_model")
+    save_model(base, hashing, stacked, n_tables=2)
+
+    results = eval_main([
+        "--model_path", base, "--data_id", "synthetic", "-k", "5",
+        "--max_probes", "6", "--probe_mode", "flip",
+    ])
+    assert [r["hash_times"] for r in results] == [1, 2, 3]
+    assert [r["n_probes"] for r in results] == [2, 4, 6]
+    cands = [r["avg_n_candidates"] for r in results]
+    assert all(b >= a for a, b in zip(cands, cands[1:]))  # unions widen
+    recalls = [r["recall"] for r in results]
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+
+
 def test_serve_cli_build_save_load(tmp_path, capsys):
     """serve CLI: build+persist on the first run, load on the second,
     identical answers both times."""
