@@ -349,6 +349,19 @@ def test_serve_cli_multitable_artifact(tmp_path):
     ])
     assert r["n_queries"] > 0 and r["recall_at_k"] >= 0
 
+    # flip probes route through the ensemble now (round 4); flip mode
+    # is deterministic, so two runs must answer identically
+    r1 = serve_main([
+        "--model_path", base, "--data_id", "synthetic", "-k", "5",
+        "--hash_times", "2", "--probe_mode", "flip", "--seed", "1",
+    ])
+    r2 = serve_main([
+        "--model_path", base, "--data_id", "synthetic", "-k", "5",
+        "--hash_times", "2", "--probe_mode", "flip", "--seed", "2",
+    ])
+    assert r1["recall_at_k"] == r2["recall_at_k"]
+    assert r1["query_size"] == r2["query_size"]
+
 
 def test_precompute_writes_processed(tmp_path):
     rng = np.random.default_rng(0)
