@@ -149,12 +149,22 @@ def _fused_mt_serve_batched(hashing, stacked_params, layout, queries, key,
     the multi-table analogue of the single-table
     ``_fused_serve_batched`` (`index/indexer.py`): one dispatch + one
     fetch amortise the relay's per-call cost over ``repeats * nq``
-    queries.  Each repeat serves the queries rolled to a different
-    order with a distinct PRNG fold so the compiler cannot collapse
-    the repeats."""
+    queries.  ``queries`` may be ``(nq, d)`` (each repeat serves the
+    same set rolled to a different order, distinct PRNG fold so the
+    compiler cannot collapse the repeats) or a FRESH-QUERY pool
+    ``(repeats, nq, d)`` — the strict serving-loop analogue."""
+
+    if queries.ndim == 3 and queries.shape[0] != repeats:
+        raise ValueError(
+            f"fresh-query pool has {queries.shape[0]} batches "
+            f"but repeats={repeats}"
+        )
 
     def one(i):
-        qs = jnp.roll(queries, shift=i * 1009, axis=0)
+        if queries.ndim == 3:
+            qs = queries[i]
+        else:
+            qs = jnp.roll(queries, shift=i * 1009, axis=0)
         return _fused_mt_serve(
             hashing, stacked_params, layout, qs, jax.random.fold_in(key, i),
             k=k, hash_times=hash_times, engine=engine, n_rows=n_rows,

@@ -402,6 +402,45 @@ def test_multitable_flip_probes(data):
     np.testing.assert_array_equal(qs, c_a)
 
 
+def test_multitable_fused_batched_fresh_pool(data):
+    """A (repeats, nq, d) fresh-query pool serves each repeat's own
+    queries — repeat i must equal a single fused serve of pool[i]."""
+    from nlsh_tpu.parallel.multitable import (
+        MultiTableIndexer, _fused_mt_serve, _fused_mt_serve_batched,
+        init_multi_table,
+    )
+
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    params = init_multi_table(hashing, 2, jax.random.PRNGKey(3))
+    idx = MultiTableIndexer(hashing, params, corpus,
+                            engine="pallas-windowed")
+    layout = idx._serving_layout()
+    pool = jnp.stack([queries, jnp.flip(queries, axis=0)])
+    key = jax.random.PRNGKey(4)
+
+    out = np.asarray(_fused_mt_serve_batched(
+        hashing, params, layout, pool, key, k=5, hash_times=2,
+        engine="pallas-windowed", n_rows=corpus.shape[0], repeats=2,
+        probe_mode="flip",
+    ))
+    for i in range(2):
+        one = np.asarray(_fused_mt_serve(
+            hashing, params, layout, pool[i], jax.random.fold_in(key, i),
+            k=5, hash_times=2, engine="pallas-windowed",
+            n_rows=corpus.shape[0], probe_mode="flip",
+        ))
+        np.testing.assert_array_equal(out[i], one)
+
+    with pytest.raises(ValueError):
+        _fused_mt_serve_batched(
+            hashing, params, layout, pool, key, k=5, hash_times=2,
+            engine="pallas-windowed", n_rows=corpus.shape[0], repeats=3,
+            probe_mode="flip",
+        )
+
+
 @pytest.mark.parametrize("engine", ["pallas", "pallas-grouped", "pallas-windowed"])
 def test_multitable_sharded_stacked_matches_unsharded(data, engine):
     """Table-sharded stacked serving (mesh) == unsharded stacked."""
