@@ -220,16 +220,23 @@ class MultiTableIndexer:
             self.starts = jnp.asarray(tables[1])
             self.counts = jnp.asarray(tables[2])
         else:
-            # (L, n) hard codes -> L CSR tables, stacked
-            codes = jax.vmap(
-                lambda p: hash_corpus(hashing, p, self.corpus)
-            )(stacked_params)
-            t = jax.vmap(
-                lambda c: build_bucket_table(c, hashing.n_buckets)
-            )(codes)
-            self.row_ids, self.starts, self.counts = (
-                t.row_ids, t.starts, t.counts,
-            )  # (L, n), (L, nb), (L, nb)
+            # (L, n) hard codes -> L CSR tables, stacked.  SEQUENTIAL
+            # over tables: a vmapped build holds L concurrent 10M-row
+            # stable sorts and OOMs HBM at BASELINE-config-5 scale
+            # (measured: L=2 x 10M needs 18G of 15.75G); one table's
+            # sort transient at a time fits, and the jitted builder
+            # compiles once for all L tables.
+            build_one = jax.jit(build_bucket_table, static_argnums=1)
+            tabs = []
+            for li in range(self.n_tables):
+                p_l = jax.tree.map(lambda x, li=li: x[li], stacked_params)
+                t_l = build_one(hash_corpus(hashing, p_l, self.corpus),
+                                hashing.n_buckets)
+                tabs.append(jax.block_until_ready(t_l))
+            self.row_ids = jnp.stack([t.row_ids for t in tabs])
+            self.starts = jnp.stack([t.starts for t in tabs])
+            self.counts = jnp.stack([t.counts for t in tabs])
+            del tabs  # (L, n), (L, nb), (L, nb)
         if mesh is not None:
             spec = NamedSharding(mesh, P(self.axis, None))
             self.row_ids = jax.device_put(self.row_ids, spec)
