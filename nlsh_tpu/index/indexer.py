@@ -427,6 +427,13 @@ class Indexer:
                 block_rows=block_rows, align=align,
             )
             self._layout_sig = sig
+            # one-per-process bitwise gather canary (round-4 VERDICT
+            # weak #7): the engines' row-gather regroups are silently
+            # wrong when the backend regresses to the round-4 miscompile
+            # class — fail the BUILD, never serve wrong neighbours
+            from nlsh_tpu.index.canary import check_gather_integrity
+
+            check_gather_integrity()
         return self._layout
 
     # -- observability (reference trainers/base.py:87-90) ------------------

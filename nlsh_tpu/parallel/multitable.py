@@ -224,14 +224,16 @@ class MultiTableIndexer:
             # over tables: a vmapped build holds L concurrent 10M-row
             # stable sorts and OOMs HBM at BASELINE-config-5 scale
             # (measured: L=2 x 10M needs 18G of 15.75G); one table's
-            # sort transient at a time fits, and the jitted builder
-            # compiles once for all L tables.
-            build_one = jax.jit(build_bucket_table, static_argnums=1)
+            # sort transient at a time fits, and the module-level jitted
+            # builder compiles once for all L tables AND all indexer
+            # instances in the process (remote compiles run 13-155 s, so
+            # a per-instance jit cache pays that again per indexer).
             tabs = []
             for li in range(self.n_tables):
                 p_l = jax.tree.map(lambda x, li=li: x[li], stacked_params)
-                t_l = build_one(hash_corpus(hashing, p_l, self.corpus),
-                                hashing.n_buckets)
+                t_l = build_bucket_table(
+                    hash_corpus(hashing, p_l, self.corpus),
+                    hashing.n_buckets)
                 tabs.append(jax.block_until_ready(t_l))
             self.row_ids = jnp.stack([t.row_ids for t in tabs])
             self.starts = jnp.stack([t.starts for t in tabs])
@@ -761,6 +763,11 @@ class MultiTableIndexer:
 
         (data, row_map, astarts, norms, cap, align, n_aligned,
          total_blocks, scale) = self._build_stacked()
+        # bitwise gather canary (see nlsh_tpu.index.canary): the stacked
+        # engines share the row-gather regroup pattern with Indexer
+        from nlsh_tpu.index.canary import check_gather_integrity
+
+        check_gather_integrity()
         return self._flat_layout(
             data, row_map, astarts, norms, self.counts, cap, align,
             n_aligned, total_blocks, self.metric,
