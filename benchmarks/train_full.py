@@ -31,6 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # MXU pass; NLSH_TRAIN_FULL_N=524288 reproduces the round-3 subset run.
 TRAIN_SUBSET = int(os.environ.get("NLSH_TRAIN_FULL_N", 1_183_514))
 MAX_STEPS = int(os.environ.get("NLSH_TRAIN_FULL_STEPS", 6000))
+# round 5 (VERDICT #6): cosine decay by default — the fixed-LR run
+# peaks at step ~1150 (0.7386) and decays to 0.655 by step 6000; decay
+# must hold the final step within ~0.01 of the peak.
+# NLSH_TRAIN_FULL_SCHED=constant reproduces the round-4 curve.
+LR_SCHEDULE = os.environ.get("NLSH_TRAIN_FULL_SCHED", "cosine")
 EVAL_EVERY = 1000
 BATCH = 2048
 HASH_TIMES = 16
@@ -175,12 +180,14 @@ def main():
                            "artifacts")
     run_name = ("train_full_glove100_1.18M" if full
                 else "train_full_glove100")
+    if LR_SCHEDULE != "constant":
+        run_name += f"_{LR_SCHEDULE}"
     logger = JSONLLogger(os.path.join(art_dir, f"{run_name}.jsonl"),
                          run_name=run_name)
     logger.meta({"corpus": bench.N_CORPUS, "train_subset": TRAIN_SUBSET,
                  "max_steps": MAX_STEPS, "batch": BATCH,
                  "hash_times": HASH_TIMES, "probe_mode": "flip",
-                 "balance_lambda": 1.5})
+                 "balance_lambda": 1.5, "lr_schedule": LR_SCHEDULE})
 
     enc = get_encoder("siren", bench.DIM, [256, 256])
     hashing = get_hashing("MultivariateBernoulli", enc, bench.HASH_SIZE)
@@ -192,7 +199,8 @@ def main():
     state = trainer.fit(K=bench.K, batch_size=BATCH, learning_rate=1e-3,
                         epochs=1000, test_every_updates=EVAL_EVERY,
                         max_steps=MAX_STEPS, hash_times=HASH_TIMES,
-                        probe_mode="flip", seed=SEED)
+                        probe_mode="flip", seed=SEED,
+                        lr_schedule=LR_SCHEDULE)
     train_s = time.perf_counter() - t0
 
     # serve the BEST checkpoint, not the last step: the recall curve
@@ -243,6 +251,7 @@ def main():
 
     print(json.dumps({
         "run": run_name,
+        "lr_schedule": LR_SCHEDULE,
         "n_train": int(subset.shape[0]),
         "steps": int(state.step),
         "train_s": round(train_s, 1),

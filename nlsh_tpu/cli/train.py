@@ -69,6 +69,13 @@ def nlsh_argparse() -> argparse.ArgumentParser:
     p.add_argument("--lambda1", type=float, default=2e-2)
     p.add_argument("-bs", "--batch_size", type=int, default=1024)
     p.add_argument("-lr", "--learning_rate", type=float, default=3e-4)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=("constant", "cosine", "linear"),
+                   help="LR decay over the run (constant = reference "
+                        "parity; cosine/linear decay to 5%% of peak "
+                        "holds the final step at the recall peak "
+                        "instead of overtraining past it)")
+    p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--test_every_updates", type=int, default=300)
     p.add_argument("--hash_times", type=int, default=10)
@@ -260,6 +267,8 @@ def main(argv: list[str] | None = None):
         max_steps=args.max_steps,
         resume_from=args.resume_from,
         mesh=mesh,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
     )
 
 

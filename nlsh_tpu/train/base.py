@@ -62,6 +62,30 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def _make_lr(schedule: str, peak: float, total_steps: int,
+             warmup_steps: int = 0, end_frac: float = 0.05):
+    """Learning-rate schedule factory (see :meth:`Trainer.fit`).
+    Returns a float (constant) or an optax schedule fn."""
+    if schedule == "constant":
+        return peak
+    total = max(int(total_steps), 1)
+    warm = min(int(warmup_steps), total - 1) if warmup_steps else 0
+    end = peak * end_frac
+    if schedule == "cosine":
+        if warm:
+            return optax.warmup_cosine_decay_schedule(
+                0.0, peak, warm, total, end_value=end)
+        return optax.cosine_decay_schedule(peak, total, alpha=end_frac)
+    if schedule == "linear":
+        sched = optax.linear_schedule(peak, end, total - warm)
+        if warm:
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, peak, warm), sched], [warm])
+        return sched
+    raise ValueError(f"unknown lr_schedule {schedule!r} "
+                     "(constant|cosine|linear)")
+
+
 class Trainer(abc.ABC):
     """Template-method trainer (reference ``Trainer`` ABC,
     ``trainers/base.py:11-34``)."""
@@ -211,6 +235,9 @@ class Trainer(abc.ABC):
         max_steps: int | None = None,
         resume_from: str | None = None,
         mesh=None,
+        lr_schedule: str = "constant",
+        warmup_steps: int = 0,
+        lr_end_frac: float = 0.05,
     ):
         """Train (reference ``fit``, ``base.py:36-115``; defaults match —
         the reference CLI passes ``test_every_updates=300``,
@@ -219,6 +246,15 @@ class Trainer(abc.ABC):
         ``mesh``: optional 1-D ``jax.sharding.Mesh``; when given, each
         step's batch is split across the mesh with gradient ``pmean``
         over ICI (:mod:`nlsh_tpu.parallel.dp`).
+
+        ``lr_schedule``: ``"constant"`` (reference parity — fixed-LR
+        Adam, ``trainers/base.py:58-62``), ``"cosine"`` or ``"linear"``
+        decay to ``learning_rate * lr_end_frac`` over the run (plus an
+        optional linear ``warmup_steps`` ramp).  The reference's fixed
+        LR overtrains: the full-1.18M curve peaks at step ~1150 and
+        decays 11% by step 6000 (RESULTS.md) — decay holds the final
+        step at the peak instead of relying on the best-recall
+        checkpoint gate to rescue it.
         """
         if not self.data.prepared:
             self.data.load()
@@ -242,7 +278,16 @@ class Trainer(abc.ABC):
             "hashing": self.init_hashing_params(ik),
             "extra": self.init_extra(ek),
         }
-        tx = optax.amsgrad(learning_rate)
+        n_batches = n // batch_size
+        if n_batches == 0:
+            raise ValueError(f"batch_size {batch_size} exceeds corpus size {n}")
+        n_usable = n_batches * batch_size
+
+        total_steps = (max_steps if max_steps is not None
+                       else epochs * n_batches)
+        lr = _make_lr(lr_schedule, learning_rate, total_steps,
+                      warmup_steps, lr_end_frac)
+        tx = optax.amsgrad(lr)
         state = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
         if resume_from:
             state = ckpt.load_train_state(resume_from, state)
@@ -255,10 +300,6 @@ class Trainer(abc.ABC):
             run_segment = build_dp_segment_runner(
                 self.loss_fn, tx, batch_size, mesh
             )
-        n_batches = n // batch_size
-        if n_batches == 0:
-            raise ValueError(f"batch_size {batch_size} exceeds corpus size {n}")
-        n_usable = n_batches * batch_size
 
         best_recall, best_query_size = 0.0, float("inf")
         eval_key = jax.random.PRNGKey(seed + 1)
