@@ -47,8 +47,13 @@ def nlsh_serve_argparse() -> argparse.ArgumentParser:
     p.add_argument("--serving_dtype", default="f32",
                    choices=["f32", "bf16", "int8"],
                    help="corpus storage dtype for the serving layout "
-                        "(int8 is cosine-only: one global scale, scores "
-                        "dequantised after top-k)")
+                        "(int8 supports cosine and euclidean; scores "
+                        "come out in dequantised units)")
+    p.add_argument("--int8_scale", default="per_row",
+                   choices=["per_row", "global"],
+                   help="int8 quantisation granularity: per-row scales "
+                        "(default; ~half the recall cost at 4 bytes/row)"
+                        " or one global scale")
     p.add_argument("--shards", type=int, default=0,
                    help="shard the corpus over an N-device mesh "
                         "(0 = single-table / multi-table by artifact)")
@@ -91,7 +96,8 @@ def _build_indexer(args, hashing, params, corpus, n_tables):
             return ShardedIndexer.load(
                 args.index_path, hashing, params, corpus, mesh)
         idx = ShardedIndexer(hashing, params, corpus, mesh,
-                             engine=args.engine, serving_dtype=dtype)
+                             engine=args.engine, serving_dtype=dtype,
+                             int8_scale=args.int8_scale)
         if args.index_path:
             idx.save(args.index_path)
         return idx
@@ -102,7 +108,8 @@ def _build_indexer(args, hashing, params, corpus, n_tables):
             return MultiTableIndexer.load(
                 args.index_path, hashing, params, jnp.asarray(corpus))
         idx = MultiTableIndexer(hashing, params, jnp.asarray(corpus),
-                                engine=args.engine, serving_dtype=dtype)
+                                engine=args.engine, serving_dtype=dtype,
+                                int8_scale=args.int8_scale)
         if args.index_path:
             idx.save(args.index_path)
         return idx
@@ -112,7 +119,8 @@ def _build_indexer(args, hashing, params, corpus, n_tables):
         return Indexer.load(args.index_path, hashing, params,
                             jnp.asarray(corpus))
     idx = Indexer(hashing, params, jnp.asarray(corpus),
-                  engine=args.engine, serving_dtype=dtype)
+                  engine=args.engine, serving_dtype=dtype,
+                  int8_scale=args.int8_scale)
     if args.index_path:
         idx.save(args.index_path)
     return idx

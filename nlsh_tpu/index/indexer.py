@@ -218,11 +218,14 @@ class Indexer:
         layout_mode: str = "auto",
         block_rows: int | None = None,
         table=None,
+        int8_scale: str = "per_row",
     ):
         if engine not in self.ENGINES:
             raise ValueError(f"unknown engine {engine!r}")
         if layout_mode not in ("auto", "device", "host"):
             raise ValueError(f"unknown layout_mode {layout_mode!r}")
+        if int8_scale not in ("global", "per_row"):
+            raise ValueError(f"unknown int8_scale {int8_scale!r}")
         self.hashing = hashing
         self.params = params
         self.corpus = corpus
@@ -234,6 +237,10 @@ class Indexer:
         # bf16 serving layout halves streamed bytes; rank flips only
         # among candidates whose distances differ below bf16 resolution
         self.serving_dtype = serving_dtype or jnp.float32
+        # int8 quantisation granularity: "per_row" (default — each row
+        # its own scale; ~half the storage-rounding recall cost at
+        # 4 bytes/row) or "global" (one scale, the round-4 behaviour)
+        self.int8_scale = int8_scale
         if table is None:
             codes = hash_corpus(hashing, params, corpus)
             table = build_bucket_table(codes, hashing.n_buckets)
@@ -343,6 +350,7 @@ class Indexer:
                 str(self.block_rows), self.layout_mode,
                 str(self.corpus.shape[0]), str(self.corpus.shape[1]),
                 corpus_fingerprint(self.corpus),
+                self.int8_scale,
             ]),
         )
 
@@ -356,8 +364,11 @@ class Indexer:
 
         with np.load(path, allow_pickle=False) as z:
             meta = [str(v) for v in z["meta"]]
+            # round-4 archives predate the int8_scale knob: they served
+            # global-scale int8, so load them that way
+            int8_scale = meta[9] if len(meta) > 9 else "global"
             (metric, probe_budget, engine, sdtype, block_rows,
-             layout_mode, n_rows, dim, digest) = meta
+             layout_mode, n_rows, dim, digest) = meta[:9]
             if (int(n_rows), int(dim)) != tuple(corpus.shape):
                 raise ValueError(
                     f"saved index is over a {n_rows}x{dim} corpus, "
@@ -381,6 +392,7 @@ class Indexer:
             layout_mode=layout_mode,
             block_rows=None if block_rows == "None" else int(block_rows),
             table=table,
+            int8_scale=int8_scale,
         )
 
     @property
@@ -403,7 +415,8 @@ class Indexer:
         mid-serve or silently serves the wrong alignment/dtype/cap."""
         align = 8 if self.engine == "pallas-windowed" else None
         return (align, jnp.dtype(self.serving_dtype).name,
-                int(self.probe_budget), self.block_rows, self.layout_mode)
+                int(self.probe_budget), self.block_rows, self.layout_mode,
+                self.int8_scale)
 
     @property
     def layout(self):
@@ -420,11 +433,12 @@ class Indexer:
                 and self.corpus.shape[0] >= self.HOST_LAYOUT_ROWS
             )
             build = serving_layout_host if host else serving_layout
-            align, dtype_name, cap, block_rows, _ = sig
+            align, dtype_name, cap, block_rows, _, int8_scale = sig
             self._layout = build(
                 self.table, self.corpus, metric=self.metric,
                 cap=cap, dtype=jnp.dtype(dtype_name),
                 block_rows=block_rows, align=align,
+                scale_mode=int8_scale,
             )
             self._layout_sig = sig
             # one-per-process bitwise gather canary (round-4 VERDICT

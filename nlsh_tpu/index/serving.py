@@ -111,6 +111,10 @@ def serving_query(
     scores, start_pos = bucket_scores(
         layout, qe, probe_ids, probe_valid, interpret=interpret
     )
+    if layout.scale is not None and layout.scale.ndim == 1:
+        # per-row int8 dequant BEFORE the norms bias / cross-block merge
+        scale_cap = layout.scale.reshape(-1, layout.cap)
+        scores = scores * scale_cap[start_pos // layout.cap]
     if layout.norms is not None:  # euclidean: score = 2q.c - ||c||^2
         norms_cap = layout.norms.reshape(-1, layout.cap)
         scores = scores - norms_cap[start_pos // layout.cap]
@@ -129,8 +133,8 @@ def serving_query(
     n_cand = jnp.sum(
         jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
     )
-    if layout.scale is not None:  # int8 dequant: back to exact-dot units
-        top_scores = top_scores * layout.scale
+    # int8 scores are already in dequantised units: a global scale folds
+    # into extend_queries, per-row scales multiplied in above
     return ids, top_scores, n_cand
 
 
@@ -167,19 +171,23 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         PACK_W, ROW_TOPK, _grouped_scores_topk,
     )
 
+    per_row = layout.scale is not None and layout.scale.ndim == 1
     if row_k is None:
         row_k = k
     if row_k <= ROW_TOPK:
         # fused kernel: scores never leave VMEM at full width — the
-        # per-row top-k (occupancy-masked, norm-biased) happens on the
-        # VPU and only packed (G, PACK_W) panels (scores + lanes in ONE
-        # lane-aligned array) are written.  row_k iterations suffice:
-        # every block holds distinct corpus rows, so the final top-k
-        # needs at most row_k of any one block's rows
+        # per-row top-k (occupancy-masked, scale-dequantised,
+        # norm-biased) happens on the VPU and only packed (G, PACK_W)
+        # panels (scores + lanes in ONE lane-aligned array) are
+        # written.  row_k iterations suffice: every block holds
+        # distinct corpus rows, so the final top-k needs at most row_k
+        # of any one block's rows
         packed3 = _grouped_scores_topk(
             layout.data, layout.norms, grp_qvecs, grp_block, grp_cnt,
             has_norms=layout.norms is not None, interpret=interpret,
             kk=row_k, block_rows=br,
+            scale_rows=layout.scale if per_row else None,
+            has_scale=per_row,
         )
         kk = row_k
         table = packed3.reshape(g_total * group_q, PACK_W)
@@ -187,6 +195,9 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         scores = _grouped_scores_v3(layout.data, grp_qvecs, grp_block,
                                     interpret=interpret,
                                     block_rows=br)  # (g, G, BR)
+        if per_row:  # per-row int8 dequant before bias/merge
+            scores = scores * layout.scale.reshape(-1, br)[
+                grp_block][:, None, :]
         if layout.norms is not None:  # euclidean: score = 2q.c - ||c||^2
             scores = scores - layout.norms.reshape(-1, br)[
                 grp_block][:, None, :]
@@ -233,8 +244,7 @@ def _grouped_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     n_cand = jnp.sum(
         jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
     )
-    if layout.scale is not None:  # int8 dequant: back to exact-dot units
-        top_scores = top_scores * layout.scale
+    # int8 scores are already dequantised (see serving_query note)
     return ids, top_scores, n_cand
 
 
@@ -328,6 +338,7 @@ def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
         )
     )
 
+    per_row = layout.scale is not None and layout.scale.ndim == 1
     if row_k is None:
         row_k = k
     if row_k <= ROW_TOPK:
@@ -335,12 +346,17 @@ def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
             layout.data, layout.norms, grp_qvecs, grp_window, grp_lo,
             grp_hi, has_norms=layout.norms is not None, interpret=interpret,
             kk=row_k, block_rows=br,
+            scale_rows=layout.scale if per_row else None,
+            has_scale=per_row,
         )
         kk = row_k
         table = packed3.reshape(g_total * group_q, PACK_W)
     else:
         scores = _windowed_scores(layout.data, grp_qvecs, grp_window,
                                   interpret=interpret, block_rows=br)
+        if per_row:  # per-row int8 dequant before bias/merge
+            scores = scores * layout.scale.reshape(-1, br)[
+                grp_window][:, None, :]
         if layout.norms is not None:  # euclidean: score = 2q.c - ||c||^2
             scores = scores - layout.norms.reshape(-1, br)[
                 grp_window][:, None, :]
@@ -385,8 +401,7 @@ def _windowed_query_jit(layout, queries, probe_ids, probe_valid, full_counts,
     n_cand = jnp.sum(
         jnp.where(probe_valid, full_counts[safe], 0), axis=1, dtype=jnp.int32
     )
-    if layout.scale is not None:  # int8 dequant: back to exact-dot units
-        top_scores = top_scores * layout.scale
+    # int8 scores are already dequantised (see serving_query note)
     return ids, top_scores, n_cand
 
 

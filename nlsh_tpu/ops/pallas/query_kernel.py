@@ -93,15 +93,23 @@ class ServingLayout(NamedTuple):
     #                      silently mis-indexed blocks) so low-occupancy
     #                      tables (10M-scale, mean bucket << 512) can use
     #                      small blocks while dense ones keep 512
-    scale: Array | None = None  # () f32 int8 dequant scale (int8 layouts
-    #                             only): data = round(ext / scale), so
-    #                             true score = kernel dot * scale.  The
-    #                             serving wrappers multiply it back in
-    #                             AFTER top-k (ranking is monotone in a
-    #                             positive global scale) so returned
-    #                             scores stay in exact-dot units and
-    #                             merge correctly with exactly-scored
-    #                             fresh rows and across shards.
+    scale: Array | None = None  # int8 dequant scale (int8 layouts only):
+    #   () f32  — GLOBAL: data = round(ext / scale).  Folded into the
+    #             query side by :func:`extend_queries` (qe *= scale), so
+    #             kernel scores come out directly in dequantised-exact
+    #             units — no post-top-k fixup, and euclidean works: the
+    #             f32 ``norms`` (of the DEQUANTISED rows) subtract from
+    #             already-dequantised dots.
+    #   (n_aligned,) f32 — PER-ROW (round 5): each row quantised with
+    #             its own ``max|ext_row|/127``; applied to the dots
+    #             INSIDE the fused kernels (rides like ``norms``) or in
+    #             XLA right after the score panels, BEFORE any cross-
+    #             block merge.  Finer scales cut the storage-rounding
+    #             recall cost of the global mode (~0.03-0.04 recall@10
+    #             measured round 4) at 4 bytes/row.
+    #   Either way every returned score is in exact-dot units and merges
+    #   correctly with exactly-scored fresh rows, across shards and
+    #   across ensemble tables — even when scales differ per shard.
 
     @property
     def n_rows(self) -> int:
@@ -130,16 +138,16 @@ class ServingLayout(NamedTuple):
                    block_rows=block_rows, scale=scale)
 
 
-def _check_int8_metric(metric: str) -> None:
-    """int8 layouts are cosine-only: a global dequant scale is monotone
-    on pure dot scores, but the euclidean score ``2q.c - ||c||^2`` mixes
-    the scaled dot with unscaled f32 norms BEFORE top-k (in-kernel), so
-    int8 would need the scale applied inside every kernel variant."""
-    if metric != "cosine":
+def _check_scale_mode(scale_mode: str) -> None:
+    if scale_mode not in ("global", "per_row"):
         raise ValueError(
-            "int8 serving layouts support the cosine metric only "
-            f"(got {metric!r}); use float32/bfloat16 for euclidean"
+            f"unknown int8 scale_mode {scale_mode!r} (global|per_row)"
         )
+    # NOTE round 5: the old cosine-only int8 gate is gone.  Euclidean
+    # int8 works in both modes because scores are now produced directly
+    # in dequantised units (global scale folds into the query side,
+    # per-row scales apply before the norms subtraction), so the
+    # ``2q.c - ||c||^2`` extension needs no post-hoc fixup.
 
 
 def layout_arrays(row_ids: Array, starts: Array, counts: Array,
@@ -147,15 +155,18 @@ def layout_arrays(row_ids: Array, starts: Array, counts: Array,
                   metric: str, dtype=jnp.float32, align: int | None = None,
                   scale: Array | None = None):
     """Traceable layout-construction core (also used per-shard inside
-    ``shard_map``): returns ``(data, row_map, aligned_starts, norms)``
-    with the static shapes ``(n_aligned, d_pad)`` / ``(n_aligned,)``;
-    ``norms`` is None for cosine.  See :func:`aligned_rows` for
-    ``align`` (must match the ``n_aligned`` it produced).
+    ``shard_map``): returns ``(data, row_map, aligned_starts, norms,
+    scale_rows)`` with the static shapes ``(n_aligned, d_pad)`` /
+    ``(n_aligned,)``; ``norms`` is None for cosine, ``scale_rows`` is
+    None unless per-row int8.  See :func:`aligned_rows` for ``align``
+    (must match the ``n_aligned`` it produced).
 
     ``dtype=jnp.int8`` quantises rows as ``round(ext / scale)`` clipped
-    to [-127, 127]; ``scale`` defaults to ``max|ext| / 127`` over THIS
-    corpus — shard-sharded callers must pass the one global scale or
-    cross-shard score merges compare different units."""
+    to [-127, 127]; ``scale`` is a () global scale (default
+    ``max|ext| / 127`` over THIS corpus) or an ``(n,)`` per-corpus-row
+    scale array (the per-row mode; scattered into aligned order exactly
+    like ``norms``).  Euclidean ``norms`` are of the DEQUANTISED rows,
+    so scores rank by exact distance to the stored (quantised) points."""
     n, d = corpus.shape
     align = cap if align is None else align
 
@@ -173,11 +184,19 @@ def layout_arrays(row_ids: Array, starts: Array, counts: Array,
     else:
         raise ValueError(f"unsupported serving metric {metric!r}")
 
+    scale_per_row = None
     if jnp.dtype(dtype) == jnp.int8:
-        _check_int8_metric(metric)
         if scale is None:
             scale = jnp.max(jnp.abs(ext)) / 127.0
-        ext = jnp.clip(jnp.round(ext / scale), -127, 127)
+        scale = jnp.asarray(scale, jnp.float32)
+        div = scale if scale.ndim == 0 else \
+            jnp.maximum(scale, 1e-30)[:, None]
+        ext = jnp.clip(jnp.round(ext / div), -127, 127)
+        if scale.ndim == 1:
+            scale_per_row = jnp.maximum(scale, 1e-30)
+        if sq is not None:  # norms of the dequantised rows (see above)
+            eff = scale if scale.ndim == 0 else scale_per_row
+            sq = jnp.sum(ext * ext, axis=1) * eff * eff
 
     d_ext = ext.shape[1]
     d_pad = _round_up(d_ext, LANE)
@@ -216,7 +235,44 @@ def layout_arrays(row_ids: Array, starts: Array, counts: Array,
             .at[aligned_pos]
             .set(jnp.take(sq, row_ids).astype(jnp.float32), mode="drop")
         )
-    return data, row_map, aligned_starts, norms
+    scale_rows = None
+    if scale_per_row is not None:
+        # padding rows keep scale 1.0: their dots are garbage either way
+        # and the occupancy mask lands AFTER the scale multiply, but a
+        # 1.0 there can never manufacture inf/nan out of a masked lane
+        scale_rows = (
+            jnp.ones((n_aligned,), jnp.float32)
+            .at[aligned_pos]
+            .set(jnp.take(scale_per_row, row_ids), mode="drop")
+        )
+    return data, row_map, aligned_starts, norms, scale_rows
+
+
+def ext_scales(corpus: Array, metric: str, scale_mode: str):
+    """int8 quantisation scale(s) in metric-EXTENDED space: () f32 for
+    ``"global"``, ``(n,)`` f32 for ``"per_row"``."""
+    if metric == "cosine":
+        nrm = jnp.linalg.norm(corpus, axis=1, keepdims=True)
+        ext = corpus / jnp.maximum(nrm, 1e-12)
+    else:
+        ext = corpus
+    if scale_mode == "global":
+        return jnp.asarray(jnp.max(jnp.abs(ext)) / 127.0, jnp.float32)
+    return (jnp.max(jnp.abs(ext), axis=1) / 127.0).astype(jnp.float32)
+
+
+def ext_scales_host(corpus, metric: str, scale_mode: str):
+    """Numpy twin of :func:`ext_scales` (bit-identical where it matters:
+    both divide the same f32 maxima by 127)."""
+    corpus = np.asarray(corpus)
+    if metric == "cosine":
+        nrm = np.linalg.norm(corpus, axis=1, keepdims=True)
+        ext = corpus / np.maximum(nrm, 1e-12)
+    else:
+        ext = corpus
+    if scale_mode == "global":
+        return float(np.abs(ext).max() / 127.0)
+    return (np.abs(ext).max(axis=1) / 127.0).astype(np.float32)
 
 
 def round_cap(cap: int, block_rows: int | None = None) -> int:
@@ -245,7 +301,8 @@ def aligned_rows(counts, cap: int, align: int | None = None) -> int:
 def serving_layout(table, corpus: Array, metric: str = "cosine",
                    cap: int | None = None,
                    dtype=jnp.float32, align: int | None = None,
-                   block_rows: int | None = None) -> ServingLayout:
+                   block_rows: int | None = None,
+                   scale_mode: str = "per_row") -> ServingLayout:
     """Build the serving layout from a CSR bucket table.
 
     ``cap`` is the per-probe DMA block size: buckets larger than ``cap``
@@ -259,6 +316,11 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
     ``block_rows`` is the grouped-engine DMA block size recorded on the
     layout (default: the module-level ``BLOCK_ROWS``); low-occupancy
     tables (mean bucket << 512) waste less padding with smaller blocks.
+
+    ``scale_mode`` (int8 only): ``"per_row"`` (default — one scale per
+    stored row, ~half the storage-rounding recall cost) or ``"global"``
+    (one scale, zero per-row overhead; what shard-consistent callers
+    used before round 5 — still exact-unit scores either way).
     """
     br = block_rows or BLOCK_ROWS
     if cap is None:
@@ -274,12 +336,9 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
     )
     scale = None
     if jnp.dtype(dtype) == jnp.int8:
-        _check_int8_metric(metric)
-        nrm = jnp.linalg.norm(corpus, axis=1, keepdims=True)
-        scale = jnp.asarray(
-            jnp.max(jnp.abs(corpus / jnp.maximum(nrm, 1e-12))) / 127.0,
-            jnp.float32)
-    data, row_map, aligned_starts, norms = layout_arrays(
+        _check_scale_mode(scale_mode)
+        scale = ext_scales(corpus, metric, scale_mode)
+    data, row_map, aligned_starts, norms, scale_rows = layout_arrays(
         table.row_ids, table.starts, table.counts, corpus,
         cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
         align=align, scale=scale,
@@ -288,7 +347,8 @@ def serving_layout(table, corpus: Array, metric: str = "cosine",
         data=data, row_map=row_map, starts=aligned_starts,
         counts=table.counts, cap=cap, d_pad=data.shape[1], align=align,
         metric=metric, total_blocks=total_blocks, norms=norms,
-        block_rows=br, scale=scale,
+        block_rows=br,
+        scale=scale_rows if scale_rows is not None else scale,
     )
 
 
@@ -323,11 +383,20 @@ def layout_arrays_host(row_ids, starts, counts, corpus, cap: int,
     else:
         raise ValueError(f"unsupported serving metric {metric!r}")
 
+    scale_per_row = None
     if np.dtype(np_dtype) == np.int8:
-        _check_int8_metric(metric)
         if scale is None:
             scale = float(np.abs(ext).max() / 127.0)
-        ext = np.clip(np.round(ext / scale), -127, 127)
+        scale = np.asarray(scale, np.float32)
+        div = scale if scale.ndim == 0 else \
+            np.maximum(scale, 1e-30)[:, None]
+        ext = np.clip(np.round(ext / div), -127, 127)
+        if scale.ndim == 1:
+            scale_per_row = np.maximum(scale, np.float32(1e-30))
+        if sq is not None:  # norms of the dequantised rows
+            eff = scale if scale.ndim == 0 else scale_per_row
+            sq = (np.einsum("nd,nd->n", ext, ext) * eff * eff
+                  ).astype(np.float32)
 
     d_ext = ext.shape[1]
     d_pad = _round_up(d_ext, LANE)
@@ -352,14 +421,19 @@ def layout_arrays_host(row_ids, starts, counts, corpus, cap: int,
     if sq is not None:
         norms = np.zeros((n_aligned,), np.float32)
         norms[ap] = sq[rid]
-    return data, row_map, aligned_starts.astype(np.int32), norms
+    scale_rows = None
+    if scale_per_row is not None:
+        scale_rows = np.ones((n_aligned,), np.float32)
+        scale_rows[ap] = scale_per_row[rid]
+    return data, row_map, aligned_starts.astype(np.int32), norms, scale_rows
 
 
 def serving_layout_host(table, corpus, metric: str = "cosine",
                         cap: int | None = None,
                         dtype=jnp.float32,
                         align: int | None = None,
-                        block_rows: int | None = None) -> ServingLayout:
+                        block_rows: int | None = None,
+                        scale_mode: str = "per_row") -> ServingLayout:
     """Host-built :func:`serving_layout`: same result, no device-side
     layout compile (the multi-million-row path, BASELINE config 5)."""
     br = block_rows or BLOCK_ROWS
@@ -374,16 +448,17 @@ def serving_layout_host(table, corpus, metric: str = "cosine",
     )
     scale = None
     if jnp.dtype(dtype) == jnp.int8:
-        _check_int8_metric(metric)
-        c_np = np.asarray(corpus)
-        nrm = np.linalg.norm(c_np, axis=1, keepdims=True)
-        scale = float(
-            np.abs(c_np / np.maximum(nrm, 1e-12)).max() / 127.0)
-    data, row_map, aligned_starts, norms = layout_arrays_host(
+        _check_scale_mode(scale_mode)
+        scale = ext_scales_host(corpus, metric, scale_mode)
+    data, row_map, aligned_starts, norms, scale_rows = layout_arrays_host(
         table.row_ids, table.starts, counts_np, corpus,
         cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
         align=align, scale=scale,
     )
+    if scale_rows is not None:
+        scale = jnp.asarray(scale_rows)
+    elif scale is not None:
+        scale = jnp.asarray(scale, jnp.float32)
     return ServingLayout(
         data=jnp.asarray(data), row_map=jnp.asarray(row_map),
         starts=jnp.asarray(aligned_starts),
@@ -392,7 +467,7 @@ def serving_layout_host(table, corpus, metric: str = "cosine",
         total_blocks=total_blocks,
         norms=None if norms is None else jnp.asarray(norms),
         block_rows=br,
-        scale=None if scale is None else jnp.asarray(scale, jnp.float32),
+        scale=scale,
     )
 
 
@@ -401,13 +476,21 @@ def extend_queries(layout: ServingLayout, queries: Array) -> Array:
 
     Euclidean queries are scaled by 2 (kernel score = 2q.c; the per-row
     ||c||^2 bias lives on ``layout.norms`` and is subtracted in XLA —
-    together they rank by negative squared L2)."""
+    together they rank by negative squared L2).
+
+    A GLOBAL int8 scale folds in here (``qe *= scale``): the kernels'
+    dots then come out directly in dequantised units for every metric,
+    so nothing downstream special-cases the global mode.  Per-row
+    scales cannot fold (one query row serves many stored rows) and are
+    applied at the score panels instead."""
     nq, d = queries.shape
     if layout.metric == "cosine":
         norms = jnp.linalg.norm(queries, axis=1, keepdims=True)
         ext = queries / jnp.maximum(norms, 1e-12)
     else:
         ext = 2.0 * queries
+    if layout.scale is not None and layout.scale.ndim == 0:
+        ext = ext * layout.scale
     # queries stay f32 regardless of layout dtype: single-row dynamic
     # loads in the kernel require f32, and the streamed (big) side is
     # the corpus — bf16 there is where the bandwidth win lives
@@ -738,18 +821,23 @@ ROW_TOPK = 16  # per-(group, slot) top-k width of the fused kernel
 PACK_W = 128
 
 
-def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
+def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool,
+                              has_scale: bool = False):
     """v3 kernel + fused per-row top-k: emits one packed ``(G, PACK_W)``
     panel per group — ``kk`` best scores then their ``kk`` lane indices
     (f32) — instead of the raw ``(G, BLOCK_ROWS)`` score panel: ~4x less
     output traffic and no XLA ``top_k`` pass over g*G*BLOCK_ROWS scores
-    afterwards.  Occupancy masking and the euclidean ``-||c||^2`` bias
-    fold in before selection."""
+    afterwards.  Occupancy masking, the per-row int8 dequant scale and
+    the euclidean ``-||c||^2`` bias fold in before selection (scale
+    FIRST: norms are stored in dequantised units)."""
 
     def kernel(grpblk_ref, qgrp_ref, cnt_ref, *refs):
         out_ref = refs[-1]
         corpus_refs = refs[: eb]
-        norms_refs = refs[eb: 2 * eb] if has_norms else None
+        pos = eb
+        norms_refs = refs[pos: pos + eb] if has_norms else None
+        pos += eb if has_norms else 0
+        scale_refs = refs[pos: pos + eb] if has_scale else None
         br = corpus_refs[0].shape[0]
         for j in range(eb):
             s = jax.lax.dot_general(
@@ -759,6 +847,8 @@ def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PREC,
             )  # (G, BR)
+            if has_scale:
+                s = s * scale_refs[j][0]
             if has_norms:
                 s = s - norms_refs[j][0]
             g = s.shape[0]
@@ -784,17 +874,23 @@ def _make_grouped_topk_kernel(eb: int, kk: int, has_norms: bool):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("has_norms", "interpret", "kk",
-                                   "block_rows"))
+@partial(jax.jit, static_argnames=("has_norms", "has_scale", "interpret",
+                                   "kk", "block_rows"))
 def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
                          has_norms: bool, interpret: bool,
-                         kk: int = ROW_TOPK, block_rows: int | None = None):
+                         kk: int = ROW_TOPK, block_rows: int | None = None,
+                         scale_rows=None, has_scale: bool = False):
     """Fused score + per-row top-``kk``.  Returns the packed panel
     ``(g_total, G, PACK_W)`` f32 — scores in ``[..., :kk]``, lane
     indices (exact f32) in ``[..., kk:2*kk]`` (see :data:`PACK_W`).
     The iterative in-kernel top-k costs one VPU max+mask pass per kept
     element, so callers size ``kk`` to what they actually need (the
-    per-block distinct count) instead of the ROW_TOPK ceiling."""
+    per-block distinct count) instead of the ROW_TOPK ceiling.
+
+    ``scale_rows`` (+ ``has_scale=True``): per-row int8 dequant scales
+    ``(n_aligned,)`` — multiplied into the dots in-kernel BEFORE the
+    norms bias and the top-k, so panel scores are cross-block
+    comparable in dequantised units."""
     br = _br(block_rows)
     g_total, G, d_pad = grp_qvecs.shape
     eb = _GROUP_EB
@@ -808,11 +904,11 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
             memory_space=pltpu.VMEM,
         )
 
-    def norms_spec(j):
-        # norms ride as (total_blocks, 1, block_rows): Mosaic requires
-        # the second-to-last block dim divisible by 8 OR equal to the
-        # array dim — a size-1 middle axis satisfies the latter, which
-        # a (1, block_rows) block on a 2-D array does not
+    def rowvec_spec(j):
+        # norms/scales ride as (total_blocks, 1, block_rows): Mosaic
+        # requires the second-to-last block dim divisible by 8 OR equal
+        # to the array dim — a size-1 middle axis satisfies the latter,
+        # which a (1, block_rows) block on a 2-D array does not
         return pl.BlockSpec(
             (1, 1, br),
             lambda i, blk, j=j: (blk[i * eb + j], 0, 0),
@@ -827,8 +923,11 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
     ] + [corpus_spec(j) for j in range(eb)]
     operands = [grp_qvecs, grp_cnt] + [data] * eb
     if has_norms:
-        in_specs += [norms_spec(j) for j in range(eb)]
+        in_specs += [rowvec_spec(j) for j in range(eb)]
         operands += [norms.reshape(-1, 1, br)] * eb
+    if has_scale:
+        in_specs += [rowvec_spec(j) for j in range(eb)]
+        operands += [scale_rows.reshape(-1, 1, br)] * eb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -838,7 +937,7 @@ def _grouped_scores_topk(data, norms, grp_qvecs, grp_block, grp_cnt,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_grouped_topk_kernel(eb, kk, has_norms),
+        _make_grouped_topk_kernel(eb, kk, has_norms, has_scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_total, G, PACK_W), jnp.float32),
         interpret=interpret,
@@ -1214,16 +1313,21 @@ def _windowed_prep(layout_starts, layout_counts, probe_ids, probe_valid,
     return grp_window, grp_qvecs, grp_lo, grp_hi, ev_row, ev_window, ev_valid
 
 
-def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool):
+def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool,
+                               has_scale: bool = False):
     """Grouped-topk kernel over dense windows: identical matmul + fused
     per-row top-k, but each query slot masks to its own [lo, hi) lane
     range (its bucket's extent within the window) instead of a 0-based
-    occupancy count."""
+    occupancy count.  Per-row int8 scales fold in before the norms bias
+    exactly as in the grouped twin."""
 
     def kernel(grpwin_ref, qgrp_ref, lo_ref, hi_ref, *refs):
         out_ref = refs[-1]
         corpus_refs = refs[: eb]
-        norms_refs = refs[eb: 2 * eb] if has_norms else None
+        pos = eb
+        norms_refs = refs[pos: pos + eb] if has_norms else None
+        pos += eb if has_norms else 0
+        scale_refs = refs[pos: pos + eb] if has_scale else None
         br = corpus_refs[0].shape[0]
         for j in range(eb):
             s = jax.lax.dot_general(
@@ -1233,6 +1337,8 @@ def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool):
                 preferred_element_type=jnp.float32,
                 precision=_DOT_PREC,
             )  # (G, W)
+            if has_scale:
+                s = s * scale_refs[j][0]
             if has_norms:
                 s = s - norms_refs[j][0]
             g = s.shape[0]
@@ -1261,14 +1367,16 @@ def _make_windowed_topk_kernel(eb: int, kk: int, has_norms: bool):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("has_norms", "interpret", "kk",
-                                   "block_rows"))
+@partial(jax.jit, static_argnames=("has_norms", "has_scale", "interpret",
+                                   "kk", "block_rows"))
 def _windowed_scores_topk(data, norms, grp_qvecs, grp_window, grp_lo, grp_hi,
                           has_norms: bool, interpret: bool,
-                          kk: int = ROW_TOPK, block_rows: int | None = None):
+                          kk: int = ROW_TOPK, block_rows: int | None = None,
+                          scale_rows=None, has_scale: bool = False):
     """Fused windowed score + per-row top-``kk``.  Returns the packed
     ``(g_total, G, PACK_W)`` panel — scores ``[..., :kk]``, lanes
-    ``[..., kk:2*kk]`` (see :data:`PACK_W`)."""
+    ``[..., kk:2*kk]`` (see :data:`PACK_W`).  ``scale_rows`` as in
+    :func:`_grouped_scores_topk`."""
     br = _br(block_rows)
     g_total, G, d_pad = grp_qvecs.shape
     eb = _GROUP_EB
@@ -1282,7 +1390,7 @@ def _windowed_scores_topk(data, norms, grp_qvecs, grp_window, grp_lo, grp_hi,
             memory_space=pltpu.VMEM,
         )
 
-    def norms_spec(j):
+    def rowvec_spec(j):
         return pl.BlockSpec(
             (1, 1, br),
             lambda i, blk, j=j: (blk[i * eb + j], 0, 0),
@@ -1299,8 +1407,11 @@ def _windowed_scores_topk(data, norms, grp_qvecs, grp_window, grp_lo, grp_hi,
     ] + [corpus_spec(j) for j in range(eb)]
     operands = [grp_qvecs, grp_lo, grp_hi] + [data] * eb
     if has_norms:
-        in_specs += [norms_spec(j) for j in range(eb)]
+        in_specs += [rowvec_spec(j) for j in range(eb)]
         operands += [norms.reshape(-1, 1, br)] * eb
+    if has_scale:
+        in_specs += [rowvec_spec(j) for j in range(eb)]
+        operands += [scale_rows.reshape(-1, 1, br)] * eb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1310,7 +1421,7 @@ def _windowed_scores_topk(data, norms, grp_qvecs, grp_window, grp_lo, grp_hi,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_windowed_topk_kernel(eb, kk, has_norms),
+        _make_windowed_topk_kernel(eb, kk, has_norms, has_scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_total, G, PACK_W), jnp.float32),
         interpret=interpret,

@@ -186,22 +186,36 @@ class MultiTableIndexer:
         (requires L divisible by the mesh size).
     """
 
+    #: corpora past this row count build the stacked serving layout on
+    #: the HOST (numpy permutation per table): the traced builder's
+    #: scatter transients OOM HBM at 10M rows (same threshold as
+    #: ``Indexer.HOST_LAYOUT_ROWS``)
+    HOST_LAYOUT_ROWS = 2_000_000
+
     def __init__(self, hashing, stacked_params, corpus, metric="cosine",
                  probe_budget: int | None = None, mesh: Mesh | None = None,
                  engine: str = "auto", serving_dtype=None,
-                 block_rows: int | None = None, tables=None):
+                 block_rows: int | None = None, tables=None,
+                 int8_scale: str = "per_row"):
         self.block_rows = block_rows  # None = module default
         self.hashing = hashing
         self.params = stacked_params
+        # host copy (when the caller has one): the >=2M-row stacked
+        # layout builds on the HOST — the traced builder's per-table
+        # scatter transients OOM HBM at 10M rows (measured 18.01G of
+        # 15.75G, round 5) exactly like the single-table round-1 case
+        self._corpus_host = corpus if isinstance(corpus, np.ndarray) \
+            else None
         self.corpus = jnp.asarray(corpus)
         self.metric = metric
         self.mesh = mesh
         self.engine = engine  # setter: validates, resolves "auto"
         self.serving_dtype = serving_dtype or jnp.float32
-        if jnp.dtype(self.serving_dtype) == jnp.int8:
-            from nlsh_tpu.ops.pallas.query_kernel import _check_int8_metric
-
-            _check_int8_metric(metric)  # cosine-only, fail at init
+        if int8_scale not in ("global", "per_row"):
+            raise ValueError(f"unknown int8_scale {int8_scale!r}")
+        # int8 works for cosine AND euclidean since round 5: scores come
+        # out of the engines in dequantised units under either scale mode
+        self.int8_scale = int8_scale
         self._query_cache: dict = {}
         self._stacked = None
         self._g_cal: int | None = None  # set by :meth:`calibrate`
@@ -301,6 +315,7 @@ class MultiTableIndexer:
                 str(self.block_rows), str(self.n_tables),
                 str(self.corpus.shape[0]),
                 corpus_fingerprint(self.corpus),
+                self.int8_scale,
             ]),
         )
 
@@ -314,8 +329,11 @@ class MultiTableIndexer:
         from nlsh_tpu.utils.fingerprint import check_fingerprint
 
         with np.load(path, allow_pickle=False) as z:
+            meta = [str(v) for v in z["meta"]]
+            # round-4 archives predate int8_scale: they were global
+            int8_scale = meta[8] if len(meta) > 8 else "global"
             (metric, probe_budget, engine, sdtype, block_rows,
-             n_tables, n_rows, digest) = [str(v) for v in z["meta"]]
+             n_tables, n_rows, digest) = meta[:8]
             L = jax.tree.leaves(stacked_params)[0].shape[0]
             if int(n_tables) != L:
                 raise ValueError(
@@ -336,6 +354,7 @@ class MultiTableIndexer:
                 serving_dtype=jnp.dtype(sdtype),
                 block_rows=None if block_rows == "None" else int(block_rows),
                 tables=tables,
+                int8_scale=int8_scale,
             )
 
     # -- core rerank over the union of all tables' candidates ---------------
@@ -494,7 +513,7 @@ class MultiTableIndexer:
         windowed calibration bound, which was sized for the old
         layout's cap/grouping."""
         return (self.engine, jnp.dtype(self.serving_dtype).name,
-                int(self.probe_budget), self.block_rows)
+                int(self.probe_budget), self.block_rows, self.int8_scale)
 
     def _build_stacked(self):
         sig = self._stacked_signature()
@@ -530,38 +549,84 @@ class MultiTableIndexer:
         ))
         metric, dtype = self.metric, self.serving_dtype
 
-        # int8: ONE global scale over the shared corpus — every table
-        # quantises the same rows, and table-sharded serving merges
-        # scores across devices, so all L layouts must dequant to the
-        # same units (exactly the ShardedIndexer argument)
+        # int8 scales over the SHARED corpus (every table quantises the
+        # same rows): "per_row" computes one scale per corpus row —
+        # identical across tables, scattered per table's permutation —
+        # and "global" keeps one scalar.  Either way engine scores come
+        # out in dequantised units, so the cross-table (and table-
+        # sharded cross-device) merges stay unit-consistent.
+        is_int8 = jnp.dtype(dtype) == jnp.int8
+        per_row = is_int8 and self.int8_scale == "per_row"
         scale = None
-        if jnp.dtype(dtype) == jnp.int8:
-            nrm = jnp.linalg.norm(self.corpus, axis=1, keepdims=True)
-            scale = jnp.asarray(
-                jnp.max(jnp.abs(self.corpus / jnp.maximum(nrm, 1e-12)))
-                / 127.0, jnp.float32)
+        host = self.corpus.shape[0] >= self.HOST_LAYOUT_ROWS
+        if not host and is_int8:
+            from nlsh_tpu.ops.pallas.query_kernel import ext_scales
 
-        build = partial(layout_arrays, cap=cap, n_aligned=n_aligned,
-                        metric=metric, dtype=dtype, align=align, scale=scale)
+            scale = ext_scales(self.corpus, metric, self.int8_scale)
+        if host:
+            # HOST stacked build (the 10M path): the traced builder's
+            # per-table scatter transients (corpus copy + 64x-padded
+            # (n, 2) sort keys) OOM HBM past a few million rows —
+            # permute each table in numpy and ship dense arrays only
+            from nlsh_tpu.ops.pallas.query_kernel import (
+                ext_scales_host, layout_arrays_host,
+            )
 
-        # sequential over tables (lax.map): peak transient memory stays
-        # one table's sort+scatter, not L of them
-        @jax.jit
-        def build_all(row_ids, starts, counts, corpus):
-            def one(args):
-                rid, st, ct = args
-                data, row_map, astarts, norms = build(rid, st, ct, corpus)
-                if norms is None:
-                    norms = jnp.zeros((0,), jnp.float32)
-                return data, row_map, astarts, norms
+            corpus_host = self._corpus_host
+            if corpus_host is None:
+                corpus_host = np.asarray(self.corpus)
+            h_scale = None
+            if jnp.dtype(dtype) == jnp.int8:
+                h_scale = ext_scales_host(corpus_host, metric,
+                                          self.int8_scale)
+            rids = np.asarray(self.row_ids)
+            sts = np.asarray(self.starts)
+            cts = counts_np
+            parts = [
+                layout_arrays_host(
+                    rids[li], sts[li], cts[li], corpus_host,
+                    cap=cap, n_aligned=n_aligned, metric=metric,
+                    dtype=dtype, align=align, scale=h_scale,
+                )
+                for li in range(self.n_tables)
+            ]
+            data = jnp.asarray(np.stack([p[0] for p in parts]))
+            row_map = jnp.asarray(np.stack([p[1] for p in parts]))
+            astarts = jnp.asarray(np.stack([p[2] for p in parts]))
+            norms = (jnp.asarray(np.stack([p[3] for p in parts]))
+                     if parts[0][3] is not None else None)
+            if per_row:
+                scale = jnp.asarray(np.stack([p[4] for p in parts]))
+            elif h_scale is not None:
+                scale = jnp.asarray(h_scale, jnp.float32)
+        else:
+            build = partial(layout_arrays, cap=cap, n_aligned=n_aligned,
+                            metric=metric, dtype=dtype, align=align,
+                            scale=scale)
 
-            return jax.lax.map(one, (row_ids, starts, counts))
+            # sequential over tables (lax.map): peak transient memory
+            # stays one table's sort+scatter, not L of them
+            @jax.jit
+            def build_all(row_ids, starts, counts, corpus):
+                def one(args):
+                    rid, st, ct = args
+                    data, row_map, astarts, norms, scale_rows = build(
+                        rid, st, ct, corpus)
+                    if norms is None:
+                        norms = jnp.zeros((0,), jnp.float32)
+                    if scale_rows is None:
+                        scale_rows = jnp.zeros((0,), jnp.float32)
+                    return data, row_map, astarts, norms, scale_rows
 
-        data, row_map, astarts, norms = build_all(
-            self.row_ids, self.starts, self.counts, self.corpus
-        )
-        if self.metric == "cosine":
-            norms = None
+                return jax.lax.map(one, (row_ids, starts, counts))
+
+            data, row_map, astarts, norms, scale_rows = build_all(
+                self.row_ids, self.starts, self.counts, self.corpus
+            )
+            if self.metric == "cosine":
+                norms = None
+            if per_row:
+                scale = scale_rows  # (L, n_aligned) stacked scales
         if self.mesh is not None:
             spec = lambda *ax: NamedSharding(self.mesh, P(*ax))  # noqa: E731
             data = jax.device_put(data, spec(self.axis, None, None))
@@ -569,6 +634,8 @@ class MultiTableIndexer:
             astarts = jax.device_put(astarts, spec(self.axis, None))
             if norms is not None:
                 norms = jax.device_put(norms, spec(self.axis, None))
+            if per_row:
+                scale = jax.device_put(scale, spec(self.axis, None))
         self._stacked = (data, row_map, astarts, norms, cap, align,
                          n_aligned, total_blocks, scale)
         self._stacked_sig = sig
@@ -593,7 +660,9 @@ class MultiTableIndexer:
             cap=cap, d_pad=data.shape[-1], align=align, metric=metric,
             total_blocks=total_blocks,
             norms=None if norms is None else norms.reshape(-1),
-            block_rows=block_rows, scale=scale,
+            block_rows=block_rows,
+            scale=(scale if scale is None or scale.ndim == 0
+                   else scale.reshape(-1)),
         )
 
     @staticmethod
@@ -920,9 +989,13 @@ class MultiTableIndexer:
         # dequant scale — key on geometry + dtype so a knob change that
         # rebuilt the stack cannot pair new arrays with a program
         # compiled for the old geometry (or a stale/missing scale)
+        # per-row int8 scales are a stacked (L, n_aligned) ARRAY: ride
+        # as a shard_map operand like norms (a closure capture would
+        # become compile-payload constant — CLAUDE.md HTTP 413)
+        has_scale_rows = getattr(scale, "ndim", 0) == 2
         cache_key = ("serving", k, engine, queries.shape[0], pids.shape[-1],
                      cap, align, n_aligned, total_blocks, br,
-                     jnp.dtype(self.serving_dtype).name)
+                     jnp.dtype(self.serving_dtype).name, self.int8_scale)
         if cache_key not in self._query_cache:
             axis = self.axis
             nb = self.hashing.n_buckets
@@ -937,23 +1010,27 @@ class MultiTableIndexer:
                 "pallas-windowed": serving_query_windowed,
             }.get(engine, serving_query)
 
+            g_scale = None if has_scale_rows else scale
+
             @jax.jit
             @partial(
                 shard_map,
                 mesh=self.mesh,
                 in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
-                          P(axis, None), P(axis, None), P(),
+                          P(axis, None), P(axis, None), P(axis, None), P(),
                           P(axis, None, None), P(axis, None, None)),
                 out_specs=(P(), P(), P()),
                 check_vma=False,
             )
-            def q(data, row_map, astarts, norms, counts, qs, pids, pvalid):
+            def q(data, row_map, astarts, norms, scales, counts, qs, pids,
+                  pvalid):
                 nq = qs.shape[0]
                 n_probes = pids.shape[-1]
                 layout = flat_layout(
                     data, row_map, astarts, norms if has_norms else None,
                     counts, cap, align, n_aligned, total_blocks, metric,
-                    block_rows=br, scale=scale,
+                    block_rows=br,
+                    scale=scales if has_scale_rows else g_scale,
                 )
                 gp = (jnp.moveaxis(pids, 0, 1)
                       + (jnp.arange(lc, dtype=jnp.int32) * nb)[None, :, None])
@@ -981,9 +1058,12 @@ class MultiTableIndexer:
 
         if norms is None:
             norms = jnp.zeros((data.shape[0], 0), jnp.float32)
+        scales = scale if has_scale_rows else \
+            jnp.zeros((data.shape[0], 0), jnp.float32)
         q = self._query_cache[cache_key]
         merged, _, n_cand = q(
-            data, row_map, astarts, norms, self.counts, queries, pids, pvalid
+            data, row_map, astarts, norms, scales, self.counts, queries,
+            pids, pvalid
         )
         return merged, n_cand
 

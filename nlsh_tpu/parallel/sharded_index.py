@@ -57,10 +57,13 @@ class ShardedIndexer:
                  metric: str = "cosine", probe_budget: int | None = None,
                  engine: str = "auto", serving_dtype=None,
                  layout_mode: str = "auto", block_rows: int | None = None,
-                 tables=None):
+                 tables=None, int8_scale: str = "per_row"):
         self.block_rows = block_rows  # None = module default
         if layout_mode not in ("auto", "device", "host"):
             raise ValueError(f"unknown layout_mode {layout_mode!r}")
+        if int8_scale not in ("global", "per_row"):
+            raise ValueError(f"unknown int8_scale {int8_scale!r}")
+        self.int8_scale = int8_scale
         self.hashing = hashing
         self.params = params
         self.mesh = mesh
@@ -217,6 +220,7 @@ class ShardedIndexer:
                 str(self.block_rows), self.layout_mode,
                 str(int(self.mesh.devices.size)), str(self.n_real),
                 corpus_fingerprint(src, n_real=self.n_real),
+                self.int8_scale,
             ]),
         )
 
@@ -231,8 +235,11 @@ class ShardedIndexer:
         from nlsh_tpu.utils.fingerprint import check_fingerprint
 
         with np.load(path, allow_pickle=False) as z:
+            meta = [str(v) for v in z["meta"]]
+            # round-4 archives predate int8_scale: they were global
+            int8_scale = meta[9] if len(meta) > 9 else "global"
             (metric, probe_budget, engine, sdtype, block_rows,
-             layout_mode, n_dev, n_real, digest) = [str(v) for v in z["meta"]]
+             layout_mode, n_dev, n_real, digest) = meta[:9]
             if int(n_dev) != int(mesh.devices.size):
                 raise ValueError(
                     f"saved tables are sharded {n_dev}-way, mesh has "
@@ -254,6 +261,7 @@ class ShardedIndexer:
                 layout_mode=layout_mode,
                 block_rows=None if block_rows == "None" else int(block_rows),
                 tables=tables,
+                int8_scale=int8_scale,
             )
 
     # -- observability ----------------------------------------------------
@@ -283,7 +291,7 @@ class ShardedIndexer:
         not cap-many rows per probe (that was a fixed-cap-engine
         concern, round-1 VERDICT weak #6)."""
         sig = (self.engine, jnp.dtype(self.serving_dtype).name,
-               self.block_rows, self.layout_mode)
+               self.block_rows, self.layout_mode, self.int8_scale)
         if self._layouts is not None \
                 and getattr(self, "_layouts_sig", None) == sig:
             return self._layouts
@@ -325,21 +333,26 @@ class ShardedIndexer:
             corpus_host = self._corpus_host
             if corpus_host is None:
                 corpus_host = np.asarray(self.corpus)
-            # int8: ONE global scale over all shards — the cross-shard
-            # top-k merge compares scores, so every shard must dequant
-            # to the same units (padding rows past n_real are zeros and
-            # cannot raise the max)
+            # int8 scales: per-row mode gives every stored row its own
+            # scale (scores come out in dequantised units either way,
+            # so the cross-shard top-k merge stays unit-consistent);
+            # global mode keeps ONE scale over all shards (padding rows
+            # past n_real are zeros and cannot raise the max)
             scale = None
             if jnp.dtype(dtype) == jnp.int8:
-                nrm = np.linalg.norm(corpus_host, axis=1, keepdims=True)
-                scale = float(np.abs(
-                    corpus_host / np.maximum(nrm, 1e-12)).max() / 127.0)
+                from nlsh_tpu.ops.pallas.query_kernel import ext_scales_host
+
+                scale = ext_scales_host(corpus_host, metric,
+                                        self.int8_scale)
+            per_row = isinstance(scale, np.ndarray)
             parts = [
                 layout_arrays_host(
                     rids[s], starts_np[s], counts_np[s],
                     corpus_host[s * self.n_local:(s + 1) * self.n_local],
                     cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
-                    align=align, scale=scale,
+                    align=align,
+                    scale=(scale[s * self.n_local:(s + 1) * self.n_local]
+                           if per_row else scale),
                 )
                 for s in range(n_dev)
             ]
@@ -351,13 +364,17 @@ class ShardedIndexer:
             astarts = put([p[2] for p in parts], P(axis, None))
             norms = (put([p[3] for p in parts], P(axis, None))
                      if euclid else None)
+            if per_row:
+                scale = put([p[4] for p in parts], P(axis, None))
             self._layouts = (data, row_map, astarts, norms, cap, align,
                              total_blocks, scale)
             self._layouts_sig = sig
             return self._layouts
 
+        is_int8 = jnp.dtype(dtype) == jnp.int8
+        per_row = is_int8 and self.int8_scale == "per_row"
         scale = None
-        if jnp.dtype(dtype) == jnp.int8:
+        if is_int8 and not per_row:
             # global scale (see host path); one tiny eager reduction
             nrm = jnp.linalg.norm(self.corpus, axis=1, keepdims=True)
             scale = float(jnp.max(
@@ -369,25 +386,33 @@ class ShardedIndexer:
             mesh=self.mesh,
             in_specs=(P(axis), P(axis, None), P(axis, None), P(axis, None)),
             out_specs=(P(axis, None, None), P(axis, None), P(axis, None),
-                       P(axis, None)),
+                       P(axis, None), P(axis, None)),
             check_vma=False,
         )
         def build(row_ids, starts, counts, corpus_local):
-            data, row_map, astarts, norms = layout_arrays(
+            from nlsh_tpu.ops.pallas.query_kernel import ext_scales
+
+            sc = (ext_scales(corpus_local, metric, "per_row") if per_row
+                  else (None if scale is None else jnp.float32(scale)))
+            data, row_map, astarts, norms, scale_rows = layout_arrays(
                 row_ids, starts[0], counts[0], corpus_local,
                 cap=cap, n_aligned=n_aligned, metric=metric, dtype=dtype,
-                align=align,
-                scale=None if scale is None else jnp.float32(scale),
+                align=align, scale=sc,
             )
             if norms is None:  # uniform output structure across metrics
                 norms = jnp.zeros((0,), jnp.float32)
-            return data[None], row_map[None], astarts[None], norms[None]
+            if scale_rows is None:
+                scale_rows = jnp.zeros((0,), jnp.float32)
+            return (data[None], row_map[None], astarts[None], norms[None],
+                    scale_rows[None])
 
-        data, row_map, astarts, norms = build(
+        data, row_map, astarts, norms, scale_rows = build(
             self.row_ids, self.starts, self.counts, self.corpus
         )
         if not euclid:
             norms = None
+        if per_row:
+            scale = scale_rows
         self._layouts = (data, row_map, astarts, norms, cap, align,
                          total_blocks, scale)
         self._layouts_sig = sig
@@ -407,7 +432,7 @@ class ShardedIndexer:
         # stale arrays
         cache_key = ("serving", k, engine, hash_times, probe_mode,
                      g_override, jnp.dtype(self.serving_dtype).name,
-                     self.block_rows, self.layout_mode)
+                     self.block_rows, self.layout_mode, self.int8_scale)
         if cache_key in self._query_cache:
             return self._query_cache[cache_key]
         from nlsh_tpu.index.serving import (
@@ -418,7 +443,13 @@ class ShardedIndexer:
         data, row_map, astarts, norms, cap, align, total_blocks, scale = (
             self._build_layouts()
         )
-        scale = None if scale is None else jnp.float32(scale)
+        # per-row int8 scales are a sharded (D, n_aligned) ARRAY and must
+        # ride as an operand (closure-captured device arrays become
+        # compile payload constants — CLAUDE.md HTTP 413); a global
+        # scale stays a closed-over python float
+        has_scale_rows = getattr(scale, "ndim", 0) == 2
+        scale_const = None if (scale is None or has_scale_rows) \
+            else jnp.float32(scale)
         br = _br(self.block_rows)
         d_pad = data.shape[-1]
         axis, metric, n_local = self.axis, self.metric, self.n_local
@@ -433,7 +464,8 @@ class ShardedIndexer:
             # rows — serve the single shard's layout directly
 
             @jax.jit
-            def q1(params, data, row_map, astarts, norms, counts, qs, key):
+            def q1(params, data, row_map, astarts, norms, scales, counts,
+                   qs, key):
                 pids, pvalid = hashing.hash(
                     params, qs, n_probes=hash_times, key=key,
                     probe_mode=probe_mode,
@@ -442,7 +474,8 @@ class ShardedIndexer:
                     data=data[0], row_map=row_map[0], starts=astarts[0],
                     counts=counts[0], cap=cap, d_pad=d_pad, align=align,
                     metric=metric, norms=norms[0] if has_norms else None,
-                    total_blocks=total_blocks, block_rows=br, scale=scale,
+                    total_blocks=total_blocks, block_rows=br,
+                    scale=scales[0] if has_scale_rows else scale_const,
                 )
                 if engine == "pallas-grouped":
                     ids, _, ncand = serving_query_grouped(
@@ -467,18 +500,20 @@ class ShardedIndexer:
             shard_map,
             mesh=self.mesh,
             in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
-                      P(axis, None), P(axis, None), P(), P(), P()),
+                      P(axis, None), P(axis, None), P(axis, None), P(), P(),
+                      P()),
             out_specs=P(),
             check_vma=False,
         )
-        def q_shards(data, row_map, astarts, norms, counts, qs, pids,
-                     pvalid):
+        def q_shards(data, row_map, astarts, norms, scales, counts, qs,
+                     pids, pvalid):
             shard = jax.lax.axis_index(axis)
             layout = ServingLayout(
                 data=data[0], row_map=row_map[0], starts=astarts[0],
                 counts=counts[0], cap=cap, d_pad=d_pad, align=align,
                 metric=metric, norms=norms[0] if has_norms else None,
-                total_blocks=total_blocks, block_rows=br, scale=scale,
+                total_blocks=total_blocks, block_rows=br,
+                scale=scales[0] if has_scale_rows else scale_const,
             )
             serve = {
                 "pallas-grouped": serving_query_grouped,
@@ -502,13 +537,14 @@ class ShardedIndexer:
             return jnp.concatenate([merged_i, ncand[:, None]], axis=1)
 
         @jax.jit
-        def q(params, data, row_map, astarts, norms, counts, qs, key):
+        def q(params, data, row_map, astarts, norms, scales, counts, qs,
+              key):
             pids, pvalid = hashing.hash(
                 params, qs, n_probes=hash_times, key=key,
                 probe_mode=probe_mode,
             )
-            return q_shards(data, row_map, astarts, norms, counts, qs,
-                            pids, pvalid)
+            return q_shards(data, row_map, astarts, norms, scales, counts,
+                            qs, pids, pvalid)
 
         self._query_cache[cache_key] = q
         return q
@@ -573,10 +609,14 @@ class ShardedIndexer:
                                          "sq_euclidean")
         if engine in ("pallas", "pallas-grouped",
                       "pallas-windowed") and serving_metric:
-            data, row_map, astarts, norms, cap, _, _, _ = (
+            data, row_map, astarts, norms, cap, _, _, scale = (
                 self._build_layouts())
             if norms is None:
                 norms = jnp.zeros((data.shape[0], 0), jnp.float32)
+            if getattr(scale, "ndim", 0) == 2:
+                scales = scale  # per-row: sharded (D, n_aligned) operand
+            else:
+                scales = jnp.zeros((data.shape[0], 0), jnp.float32)
             g_override = None
             if (engine == "pallas-grouped"
                     and self.mesh.devices.size == 1
@@ -604,7 +644,7 @@ class ShardedIndexer:
                     np.asarray(self.counts[0]), np.asarray(probe_ids),
                     np.asarray(probe_valid), cap, G, block_rows=br,
                 )
-                _, _, _, _, _, _, total_blocks = self._layouts
+                total_blocks = self._layouts[6]
                 g_override = round_group_override(
                     g_exact, grouped_static_bound(
                         queries.shape[0] * probe_ids.shape[1], cap // br,
@@ -613,8 +653,8 @@ class ShardedIndexer:
             q = self._serving_query_fn(k, engine, hash_times, probe_mode,
                                        g_override)
             return q(
-                self.params, data, row_map, astarts, norms, self.counts,
-                queries, key,
+                self.params, data, row_map, astarts, norms, scales,
+                self.counts, queries, key,
             )
         probe_ids, probe_valid = self.hashing.hash(
             self.params, queries, n_probes=hash_times, key=key,

@@ -154,7 +154,8 @@ def test_sharded_int8_matches_single_table_int8(data):
     c = c / np.linalg.norm(c, axis=1, keepdims=True)
     q = np.asarray(queries)
     q = q / np.linalg.norm(q, axis=1, keepdims=True)
-    bound = c.shape[1] * float(single8.layout.scale) + 1e-5
+    bound = c.shape[1] * float(np.max(np.asarray(
+        single8.layout.scale))) + 1e-5
     f_np, m_np = np.asarray(f_top), np.asarray(m_top)
     for i in range(q.shape[0]):
         if f_np[i, 0] < 0 or m_np[i, 0] < 0:
@@ -273,7 +274,7 @@ def test_multitable_int8_matches_f32(data):
     f_top, f_cand = f32.query(queries, k=k, hash_times=1)
     i8 = MultiTableIndexer(hashing, stacked, corpus, metric="cosine",
                            engine="pallas-grouped",
-                           serving_dtype=jnp.int8)
+                           serving_dtype=jnp.int8, int8_scale="global")
     i_top, i_cand = i8.query(queries, k=k, hash_times=1)
     np.testing.assert_array_equal(np.asarray(i_cand), np.asarray(f_cand))
 
@@ -305,7 +306,7 @@ def test_multitable_int8_matches_f32(data):
     mesh = make_mesh(4, axis="table")
     sh8 = MultiTableIndexer(hashing, stacked, corpus, metric="cosine",
                             engine="pallas-grouped", mesh=mesh,
-                            serving_dtype=jnp.int8)
+                            serving_dtype=jnp.int8, int8_scale="global")
     s_top, _ = sh8.query(queries, k=k, hash_times=1)
     same = np.mean([
         len(set(np.asarray(i_top)[i]) & set(np.asarray(s_top)[i])) / k
@@ -314,12 +315,48 @@ def test_multitable_int8_matches_f32(data):
     assert same > 0.99, f"sharded int8 vs plain int8 agreement {same:.3f}"
 
 
-def test_multitable_int8_rejects_euclidean(data):
+def test_multitable_int8_per_row_and_euclidean(data):
+    """Round 5: int8 ensembles serve euclidean and per-row scales (the
+    new default).  Plain and table-sharded per-row int8 must agree with
+    each other (scales are per corpus row — identical on both sides)
+    and track f32 ids closely; euclidean int8 must run end-to-end."""
     hashing = _hashing()
-    stacked = init_multi_table(hashing, 2, jax.random.PRNGKey(1))
-    with pytest.raises(ValueError, match="cosine"):
-        MultiTableIndexer(hashing, stacked, jnp.asarray(data.training),
-                          metric="euclidean", serving_dtype=jnp.int8)
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    stacked = init_multi_table(hashing, 4, jax.random.PRNGKey(9))
+    k = 5
+
+    for metric in ("cosine", "euclidean"):
+        f32 = MultiTableIndexer(hashing, stacked, corpus, metric=metric,
+                                engine="pallas-grouped")
+        f_top, f_cand = f32.query(queries, k=k, hash_times=1)
+        i8 = MultiTableIndexer(hashing, stacked, corpus, metric=metric,
+                               engine="pallas-grouped",
+                               serving_dtype=jnp.int8)  # per_row default
+        assert i8._serving_layout().scale.ndim == 1
+        i_top, i_cand = i8.query(queries, k=k, hash_times=1)
+        np.testing.assert_array_equal(np.asarray(i_cand),
+                                      np.asarray(f_cand))
+        agree = np.mean([
+            len(set(np.asarray(f_top)[i]) & set(np.asarray(i_top)[i])) / k
+            for i in range(f_top.shape[0])
+        ])
+        # per-row scales on unit-norm 8-dim data still flip near-ties,
+        # but should track f32 at least as well as global did (~0.76
+        # brute-force agreement on this fixture)
+        assert agree >= 0.75, f"{metric}: per-row int8 agreement {agree}"
+
+        mesh = make_mesh(4, axis="table")
+        sh8 = MultiTableIndexer(hashing, stacked, corpus, metric=metric,
+                                engine="pallas-grouped", mesh=mesh,
+                                serving_dtype=jnp.int8)
+        s_top, _ = sh8.query(queries, k=k, hash_times=1)
+        same = np.mean([
+            len(set(np.asarray(i_top)[i]) & set(np.asarray(s_top)[i])) / k
+            for i in range(i_top.shape[0])
+        ])
+        assert same > 0.99, (
+            f"{metric}: sharded per-row int8 vs plain {same:.3f}")
 
 
 def test_sharded_grouped_and_host_layout_match_xla(data):
@@ -774,3 +811,55 @@ def test_multitable_calibrated_windowed_matches_uncalibrated(data, monkeypatch):
     f_top, f_cand = ref.query(queries, k=5, hash_times=4, key=key)
     np.testing.assert_array_equal(s_cand, f_cand)
     np.testing.assert_array_equal(np.sort(s_top, 1), np.sort(f_top, 1))
+
+
+def test_multitable_host_stacked_build_matches_traced(data, monkeypatch):
+    """The >=2M-row ensembles build their stacked layout on the HOST
+    (round 5: the traced builder's scatter transients OOM HBM at 10M —
+    measured 18.01G of 15.75G).  Shrink the threshold and require the
+    host-built stack to serve identically to the traced one, for f32
+    AND per-row int8."""
+    hashing = _hashing()
+    corpus = jnp.asarray(data.training)
+    queries = jnp.asarray(data.testing)
+    stacked = init_multi_table(hashing, 3, jax.random.PRNGKey(2))
+    k = 5
+
+    for dtype in (jnp.float32, jnp.int8):
+        traced = MultiTableIndexer(hashing, stacked, corpus,
+                                   metric="cosine", engine="pallas-grouped",
+                                   serving_dtype=dtype)
+        t_lay = traced._serving_layout()
+        t_top, t_cand = traced.query(queries, k=k, hash_times=2,
+                                     key=jax.random.PRNGKey(3),
+                                     probe_mode="flip")
+        monkeypatch.setattr(MultiTableIndexer, "HOST_LAYOUT_ROWS", 1)
+        hosted = MultiTableIndexer(hashing, stacked,
+                                   np.asarray(data.training),
+                                   metric="cosine", engine="pallas-grouped",
+                                   serving_dtype=dtype)
+        h_lay = hosted._serving_layout()
+        # placement bitwise; values to last-ulp normalisation rounding
+        # (independent f32 reduction orders, like the single-table
+        # host-vs-device test)
+        np.testing.assert_array_equal(np.asarray(t_lay.row_map),
+                                      np.asarray(h_lay.row_map))
+        np.testing.assert_allclose(
+            np.asarray(t_lay.data, np.float32),
+            np.asarray(h_lay.data, np.float32),
+            rtol=1e-6, atol=1 if dtype == jnp.int8 else 1e-7)
+        if t_lay.scale is not None:
+            np.testing.assert_allclose(np.asarray(t_lay.scale),
+                                       np.asarray(h_lay.scale), rtol=1e-6)
+        h_top, h_cand = hosted.query(queries, k=k, hash_times=2,
+                                     key=jax.random.PRNGKey(3),
+                                     probe_mode="flip")
+        np.testing.assert_array_equal(np.asarray(t_cand),
+                                      np.asarray(h_cand))
+        agree = np.mean([
+            len(set(np.asarray(t_top)[i]) & set(np.asarray(h_top)[i])) / k
+            for i in range(t_top.shape[0])
+        ])
+        assert agree >= 0.98, f"host vs traced stack agreement {agree}"
+        monkeypatch.setattr(MultiTableIndexer, "HOST_LAYOUT_ROWS",
+                            2_000_000)

@@ -133,8 +133,6 @@ def test_host_layout_matches_device_layout(metric, dtype):
     int8 covers the quantisation too (round-half-even on both sides)."""
     from nlsh_tpu.ops.pallas.query_kernel import serving_layout_host
 
-    if dtype == "int8" and metric == "euclidean":
-        pytest.skip("int8 layouts are cosine-only")
     dt = {"bf16": jnp.bfloat16, "int8": jnp.int8,
           "f32": jnp.float32}[dtype]
     rng = np.random.default_rng(7)
@@ -154,13 +152,20 @@ def test_host_layout_matches_device_layout(metric, dtype):
                                   np.asarray(dev.starts))
     np.testing.assert_allclose(
         np.asarray(host.data, np.float32), np.asarray(dev.data, np.float32),
-        rtol=1e-6, atol=1e-7,
+        rtol=1e-6,
+        # int8: a last-ulp ext difference at a rounding boundary can
+        # flip one quantisation level
+        atol=1 if dtype == "int8" else 1e-7,
     )
     if metric == "euclidean":
         np.testing.assert_allclose(np.asarray(host.norms),
                                    np.asarray(dev.norms), rtol=1e-5)
     else:
         assert host.norms is None and dev.norms is None
+    if dtype == "int8":  # per-row scales (the default) on both sides
+        assert host.scale.ndim == 1 and dev.scale.ndim == 1
+        np.testing.assert_allclose(np.asarray(host.scale),
+                                   np.asarray(dev.scale), rtol=1e-6)
 
 
 def test_indexer_host_layout_mode_matches_device():
@@ -668,7 +673,8 @@ def test_int8_layout_matches_f32_engine(engine):
                            idx8.table.counts, k=k, interpret=True)
     ids, scores = np.asarray(ids), np.asarray(scores)
     qn = pts[n:]
-    bound = d * float(idx8.layout.scale) / 2 + 1e-4
+    # per-row scales (the default): bound with the largest row's scale
+    bound = d * float(np.max(idx8.layout.scale)) / 2 + 1e-4
     for i in range(nq):
         if ids[i, 0] < 0:
             continue
@@ -676,15 +682,87 @@ def test_int8_layout_matches_f32_engine(engine):
         assert abs(scores[i, 0] - exact) <= bound
 
 
-def test_int8_layout_rejects_euclidean():
+@pytest.mark.parametrize("scale_mode", ["global", "per_row"])
+@pytest.mark.parametrize("engine",
+                         ["pallas", "pallas-grouped", "pallas-windowed"])
+def test_int8_euclidean_matches_f32_engine(engine, scale_mode):
+    """Round-5 (r4 VERDICT #5): int8 layouts serve EUCLIDEAN too — a
+    global scale folds into the query side, per-row scales apply inside
+    the kernels before the ``-||c||^2`` bias, and both modes return
+    ids that agree with the f32 engine on clustered data."""
     rng = np.random.default_rng(12)
-    corpus = jnp.asarray(rng.normal(size=(200, 16)).astype(np.float32))
-    hashing = MultivariateBernoulli(MLPEncoder(16, (16,)), 4)
+    n, nq, d, k = 4096, 64, 24, 8
+    centers = rng.normal(size=(16, d)).astype(np.float32)
+    pts = centers[rng.integers(0, 16, n + nq)] + 0.3 * rng.normal(
+        size=(n + nq, d)).astype(np.float32)
+    corpus = jnp.asarray(pts[:n])
+    queries = jnp.asarray(pts[n:])
+    hashing = MultivariateBernoulli(MLPEncoder(d, (32,)), 5)
     params = hashing.init(jax.random.PRNGKey(0))
-    idx = Indexer(hashing, params, corpus, metric="euclidean",
-                  serving_dtype=jnp.int8)
-    with pytest.raises(ValueError, match="cosine"):
-        _ = idx.layout
+    key = jax.random.PRNGKey(1)
+
+    idx32 = Indexer(hashing, params, corpus, metric="euclidean",
+                    engine=engine)
+    top32, cand32 = idx32.query(queries, k=k, hash_times=4,
+                                probe_mode="flip", key=key)
+    idx8 = Indexer(hashing, params, corpus, metric="euclidean",
+                   engine=engine, serving_dtype=jnp.int8,
+                   int8_scale=scale_mode)
+    lay = idx8.layout
+    assert lay.scale is not None
+    assert lay.scale.ndim == (1 if scale_mode == "per_row" else 0)
+    assert lay.norms is not None  # euclidean bias present alongside
+    top8, cand8 = idx8.query(queries, k=k, hash_times=4,
+                             probe_mode="flip", key=key)
+    np.testing.assert_array_equal(np.asarray(cand8), np.asarray(cand32))
+    a32, a8 = np.asarray(top32), np.asarray(top8)
+    agree = np.mean([
+        len(set(a32[i]) & set(a8[i])) / k for i in range(nq)
+    ])
+    assert agree >= 0.85, f"int8 euclid top-{k} agreement {agree:.3f}"
+    # rank-1 sanity: the int8 winner's true distance is within the
+    # quantisation bound of the f32 winner's
+    d32 = np.linalg.norm(pts[n:] - pts[a32[:, 0]], axis=1)
+    d8 = np.linalg.norm(pts[n:] - pts[a8[:, 0]], axis=1)
+    assert np.all(d8 <= d32 + 0.15)
+
+
+def test_int8_per_row_beats_global_on_skewed_norms():
+    """The point of per-row scales: rows much shorter than the longest
+    row lose most of their int8 resolution under one global scale.
+    Build a euclidean corpus with a few huge-norm rows and check the
+    per-row layout quantises small rows ~losslessly where global
+    visibly distorts them."""
+    from nlsh_tpu.ops.pallas.query_kernel import serving_layout
+    from nlsh_tpu.index.bucket_table import build_bucket_table
+    from nlsh_tpu.index.indexer import hash_corpus
+
+    rng = np.random.default_rng(5)
+    n, d = 512, 16
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    base[:8] *= 100.0  # outlier rows dominate the global max
+    corpus = jnp.asarray(base)
+    hashing = MultivariateBernoulli(MLPEncoder(d, (16,)), 4)
+    params = hashing.init(jax.random.PRNGKey(0))
+    table = build_bucket_table(hash_corpus(hashing, params, corpus),
+                               hashing.n_buckets)
+
+    def dequant_err(mode):
+        lay = serving_layout(table, corpus, metric="euclidean",
+                             dtype=jnp.int8, scale_mode=mode)
+        scale = np.asarray(lay.scale)
+        data = np.asarray(lay.data).astype(np.float32)
+        deq = data * (scale if np.ndim(scale) == 0 else scale[:, None])
+        rm = np.asarray(lay.row_map)
+        valid = rm >= 0
+        err = np.abs(deq[valid][:, :d] - base[rm[valid]])
+        # error on the NON-outlier rows only
+        small = np.linalg.norm(base[rm[valid]], axis=1) < 50
+        return float(err[small].max())
+
+    e_global = dequant_err("global")
+    e_row = dequant_err("per_row")
+    assert e_row < e_global / 10, (e_row, e_global)
 
 
 def test_indexer_load_stale_fingerprint_format(tmp_path):
@@ -702,7 +780,9 @@ def test_indexer_load_stale_fingerprint_format(tmp_path):
     with np.load(path, allow_pickle=False) as z:
         arrays = {k: z[k] for k in z.files}
     meta = [str(v) for v in arrays["meta"]]
-    meta[-1] = "0123456789abcdef"  # a bare-hex (pre-v2) digest
+    # simulate a round-3 archive: 9 fields, digest last, bare-hex
+    meta = meta[:9]
+    meta[8] = "0123456789abcdef"  # a bare-hex (pre-v2) digest
     arrays["meta"] = np.array(meta)
     np.savez_compressed(path, **arrays)
     with pytest.raises(ValueError, match="older corpus-fingerprint"):
