@@ -75,9 +75,14 @@ def main():
     queries = jnp.asarray(data.testing)
     gt = np.asarray(data.ground_truth)
     key = jax.random.PRNGKey(1)
+    # round 5: int8 euclidean layouts exist (per-row scales by default)
+    # — NLSH_EUCLID_DTYPE=int8 measures the capacity knob on sift-shape
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+             "int8": jnp.int8}[os.environ.get("NLSH_EUCLID_DTYPE", "f32")]
+    i8scale = os.environ.get("NLSH_EUCLID_I8SCALE", "per_row")
     idx = Indexer(hashing, state.params["hashing"], corpus,
-                  metric="euclidean", serving_dtype=jnp.float32,
-                  engine="pallas-grouped")
+                  metric="euclidean", serving_dtype=dtype,
+                  engine="pallas-grouped", int8_scale=i8scale)
     probe_list = [int(p) for p in os.environ.get(
         "NLSH_EUCLID_PROBES", "4,8,16,32").split(",")]
     for probes in probe_list:
@@ -92,6 +97,9 @@ def main():
         print(json.dumps({
             "config": "euclid_sift_1M",
             "bits": bits, "balance_lambda": bl, "probes": probes,
+            "serving_dtype": jnp.dtype(dtype).name,
+            "int8_scale": i8scale if jnp.dtype(dtype) == jnp.int8
+            else None,
             "recall_at_10": round(
                 float(calculate_recall(gt[:, :10], top, np.mean)), 4),
             "query_size": round(float(np.mean(n_cand)), 1),

@@ -309,6 +309,8 @@ class ProductQuantization:
     ) -> tuple[Array, Array]:
         p = self._band_probs(params, x)  # (n, M, B)
         hard = jnp.argmax(p, axis=-1)[:, None, :]  # (n, 1, M)
+        if probe_mode == "flip" and n_probes > 1:
+            return self._hash_flip(p, n_probes)
         if n_probes == 1:
             codes = hard
         else:
@@ -324,6 +326,47 @@ class ProductQuantization:
         first = jnp.ones_like(s[:, :1], dtype=bool)
         valid = jnp.concatenate([first, s[:, 1:] != s[:, :-1]], axis=-1)
         return s, valid
+
+    def _hash_flip(self, p: Array, n_probes: int) -> tuple[Array, Array]:
+        """Deterministic best-first PQ multi-probe (round 5 — the r4
+        playbook piece PQ never got): the band analogue of the MVB
+        bit-flip probes above.  Bands are ordered least-confident first
+        (smallest top1/top2 log-margin) and probe ``m``'s base-``B``
+        digits (B = band_size) pick each band's ``digit``-th best
+        sub-code — digit 0 varies fastest, so early probes sweep the
+        least-confident band through its ranked alternatives before
+        touching better-separated bands.  Probes are deterministic,
+        pairwise distinct (distinct digit vectors -> distinct codes),
+        and earlier probes are a fixed prefix as ``n_probes`` grows."""
+        n = p.shape[0]
+        B = self.band_size
+        if n_probes > self.n_buckets:
+            raise ValueError(
+                f"n_probes {n_probes} exceeds n_buckets {self.n_buckets}"
+            )
+        vals, ranked = jax.lax.top_k(p, B)  # (n, M, B): per-band ranking
+        margin = jnp.log(vals[..., 0] + 1e-20) - jnp.log(vals[..., 1] + 1e-20)
+        order = jnp.argsort(margin, axis=-1)  # least-confident band first
+        # digits[probe, slot]: base-B digit of the probe index
+        probes = np.arange(n_probes, dtype=np.int64)
+        n_slots = max(int(np.ceil(np.log(max(n_probes, 2))
+                                  / np.log(B))), 1)
+        n_slots = min(n_slots, self.n_bands)
+        digits = jnp.asarray(
+            (probes[:, None] // (B ** np.arange(n_slots))) % B,
+            jnp.int32)  # (P, n_slots)
+        # slot j = the j-th least-confident band of each query
+        slot_band = order[:, :n_slots]  # (n, n_slots)
+        # per (query, probe, band): which rank to take (0 = hard code)
+        one_hot = jax.nn.one_hot(slot_band, self.n_bands,
+                                 dtype=jnp.int32)  # (n, n_slots, M)
+        rank = jnp.einsum("pj,njm->npm", digits, one_hot)  # (n, P, M)
+        codes = jnp.take_along_axis(
+            ranked[:, None], rank[..., None], axis=-1
+        )[..., 0]  # (n, P, M): rank -> actual sub-code
+        ids = self._pack_bands(codes)
+        valid = jnp.ones((n, n_probes), bool)  # distinct by construction
+        return ids, valid
 
 
 def get_hashing(

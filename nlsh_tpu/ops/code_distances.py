@@ -337,6 +337,32 @@ def bucket_balance_loss(
     return kl_uniform + confidence_weight * sample_entropy
 
 
+def band_balance_loss(
+    band_probs: Array, confidence_weight: float = 0.3,
+    epsilon: float = 1e-12,
+) -> Array:
+    """:func:`bucket_balance_loss` for PRODUCT-QUANTISATION heads
+    (round 5): the PQ bucket distribution factorises over bands, so the
+    full 2^bits histogram is uniform iff every band's categorical is —
+    sum the per-band KL(mean || uniform) instead of materialising
+    ``2^bits`` buckets, plus the same per-sample confidence (entropy)
+    term so the soft histogram cannot flatten while hard assignments
+    stay collapsed.
+
+    Args:
+      band_probs: ``(batch, n_bands, band_size)`` per-band softmaxes.
+    """
+    p = jnp.clip(band_probs, 1e-9, 1.0)
+    band_size = p.shape[-1]
+    q = jnp.mean(p, axis=0)  # (M, B) mean band distributions
+    q = q / jnp.sum(q, axis=-1, keepdims=True)
+    kl_uniform = jnp.sum(q * jnp.log(q * band_size + epsilon))
+    sample_entropy = -jnp.mean(
+        jnp.sum(jnp.sum(p * jnp.log(p), axis=-1), axis=-1)
+    )
+    return kl_uniform + confidence_weight * sample_entropy
+
+
 def get_code_distance(name: str):
     try:
         return CODE_DISTANCES[name]()

@@ -149,11 +149,20 @@ class TripletTrainer(Trainer):
 
         balance = 0.0
         if self.balance_lambda > 0:
-            from nlsh_tpu.ops.code_distances import bucket_balance_loss
-
-            balance = self.balance_lambda * bucket_balance_loss(
-                self.hashing.probs(hashing_params, corpus[anchor_idx])
+            from nlsh_tpu.ops.code_distances import (
+                band_balance_loss, bucket_balance_loss,
             )
+
+            if hasattr(self.hashing, "_band_probs"):
+                # PQ heads: the bucket histogram factorises over bands
+                balance = self.balance_lambda * band_balance_loss(
+                    self.hashing._band_probs(hashing_params,
+                                             corpus[anchor_idx])
+                )
+            else:
+                balance = self.balance_lambda * bucket_balance_loss(
+                    self.hashing.probs(hashing_params, corpus[anchor_idx])
+                )
 
         if self.negative_sampling_method in (NSM_RANDOM, NSM_NEAREST):
             n_code = self.hashing.predict(hashing_params, corpus[batch["neg"]])

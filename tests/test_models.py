@@ -212,3 +212,76 @@ def test_categorical_nprobes_validation():
     i = np.asarray(ids)
     for r in range(5):
         assert len(set(i[r][v[r]])) == 4
+
+
+def test_pq_flip_probes_deterministic_and_superset():
+    """Round-5 PQ flip probes: deterministic (no key), probe 0 == hard
+    code, all probes distinct, and growing n_probes keeps earlier
+    probes as a prefix (supersets, like the MVB bit-flip mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlsh_tpu.models import get_encoder, get_hashing
+
+    pq = get_hashing("ProductQuantization", get_encoder("mlp", 12, [16]), 8)
+    params = pq.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(64, 12)).astype(np.float32))
+
+    hard = np.asarray(pq.hash_hard(params, x))
+    ids4, v4 = pq.hash(params, x, n_probes=4, probe_mode="flip")
+    ids8, v8 = pq.hash(params, x, n_probes=8, probe_mode="flip")
+    ids4, ids8 = np.asarray(ids4), np.asarray(ids8)
+    assert np.asarray(v4).all() and np.asarray(v8).all()
+    np.testing.assert_array_equal(ids4[:, 0], hard)  # mask 0 = no swap
+    np.testing.assert_array_equal(ids8[:, :4], ids4)  # prefix property
+    for i in range(64):  # distinct by construction
+        assert len(set(ids8[i])) == 8
+    # determinism across calls
+    ids4b, _ = pq.hash(params, x, n_probes=4, probe_mode="flip")
+    np.testing.assert_array_equal(np.asarray(ids4b), ids4)
+
+
+def test_pq_flip_probes_lift_recall_of_indexer():
+    """Flip probes must find strictly more candidates than the hard
+    code alone and lift recall (the point of the playbook)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nlsh_tpu.index import Indexer
+    from nlsh_tpu.models import get_encoder, get_hashing
+    from nlsh_tpu.utils.metrics import calculate_recall
+    from nlsh_tpu.ops.knn import knn
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(4096 + 64, 16)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    corpus, queries = jnp.asarray(pts[:4096]), jnp.asarray(pts[4096:])
+    _, gt = knn(queries, corpus, k=5, metric="cosine")
+    pq = get_hashing("ProductQuantization", get_encoder("mlp", 16, [16]), 8)
+    params = pq.init(jax.random.PRNGKey(1))
+    idx = Indexer(pq, params, corpus, engine="xla")
+    r = {}
+    for ht in (1, 8):
+        top, ncand = idx.query(queries, k=5, hash_times=ht,
+                               probe_mode="flip",
+                               key=jax.random.PRNGKey(2))
+        r[ht] = (calculate_recall(np.asarray(gt), top, np.mean),
+                 float(np.mean(ncand)))
+    assert r[8][1] > r[1][1]  # more candidates probed
+    assert r[8][0] >= r[1][0]  # recall monotone in probes
+
+
+def test_band_balance_loss_prefers_uniform_confident():
+    from nlsh_tpu.ops.code_distances import band_balance_loss
+
+    # uniform-and-confident: each band's hard assignment spread evenly
+    eye = np.eye(4, dtype=np.float32) * 0.97 + 0.01
+    balanced = jnp.asarray(np.tile(eye, (8, 1))[:, None, :])  # (32,1,4)
+    collapsed = jnp.asarray(np.tile(eye[:1], (32, 1))[:, None, :])
+    soft = jnp.full((32, 1, 4), 0.25)
+    lb = float(band_balance_loss(balanced))
+    lc = float(band_balance_loss(collapsed))
+    ls = float(band_balance_loss(soft))
+    assert lb < lc  # collapse penalised
+    assert lb < ls  # hovering-soft penalised (confidence term)
