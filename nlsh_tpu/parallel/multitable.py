@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nlsh_tpu.index.bucket_table import build_bucket_table
-from nlsh_tpu.index.indexer import hash_corpus
+from nlsh_tpu.index.indexer import hash_corpus, hash_corpus_host
 from nlsh_tpu.ops import distances as D
 
 shard_map = jax.shard_map
@@ -206,7 +206,18 @@ class MultiTableIndexer:
         # 15.75G, round 5) exactly like the single-table round-1 case
         self._corpus_host = corpus if isinstance(corpus, np.ndarray) \
             else None
-        self.corpus = jnp.asarray(corpus)
+        # LAZY corpus (round 5): past the host-layout threshold the
+        # serving path never reads the raw corpus from HBM (the stacked
+        # layout holds the data; dedupe is id-only), so a host-given
+        # 10M x 96 corpus stays in host memory — 3.84 GB of HBM that
+        # decides whether an L=4 bf16 ensemble fits at all.  Table
+        # hashing streams chunks (hash_corpus_host); the XLA fallback
+        # path uploads on use.
+        if (self._corpus_host is not None
+                and corpus.shape[0] >= self.HOST_LAYOUT_ROWS):
+            self.corpus = self._corpus_host
+        else:
+            self.corpus = jnp.asarray(corpus)
         self.metric = metric
         self.mesh = mesh
         self.engine = engine  # setter: validates, resolves "auto"
@@ -242,12 +253,16 @@ class MultiTableIndexer:
             # builder compiles once for all L tables AND all indexer
             # instances in the process (remote compiles run 13-155 s, so
             # a per-instance jit cache pays that again per indexer).
+            lazy = isinstance(self.corpus, np.ndarray)
             tabs = []
             for li in range(self.n_tables):
                 p_l = jax.tree.map(lambda x, li=li: x[li], stacked_params)
-                t_l = build_bucket_table(
-                    hash_corpus(hashing, p_l, self.corpus),
-                    hashing.n_buckets)
+                codes = (
+                    jnp.asarray(hash_corpus_host(hashing, p_l, self.corpus))
+                    if lazy else
+                    hash_corpus(hashing, p_l, self.corpus)
+                )
+                t_l = build_bucket_table(codes, hashing.n_buckets)
                 tabs.append(jax.block_until_ready(t_l))
             self.row_ids = jnp.stack([t.row_ids for t in tabs])
             self.starts = jnp.stack([t.starts for t in tabs])
