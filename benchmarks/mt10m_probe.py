@@ -156,7 +156,16 @@ def main():
             idx.exact_query_size(queries, hash_times=ht, key=key,
                                  probe_mode="flip")
         )), 1)
-        if qbatch > n_test and jax.default_backend() == "tpu":
+        # the big-batch block can OOM at high ht x L (observed: ht=16
+        # L=2 windowed at 16k x 4 repeats) — never lose the already-
+        # measured small-batch row to it
+        try:
+            _qbatch_block = qbatch > n_test and \
+                jax.default_backend() == "tpu"
+        except Exception:
+            _qbatch_block = False
+        if _qbatch_block:
+          try:  # noqa: E999 indent — guarded big-batch block
             # fresh 16k-query batches from the same cluster model: the
             # production-batch lever (cfg5 finding) on the ensemble
             R2 = int(os.environ.get("NLSH_MT10M_QBATCH_R", 4))
@@ -185,7 +194,10 @@ def main():
             m["qbatch"] = qbatch
             m["qps_batch"] = round(qbatch / min(times), 1)
             m["qps"] = max(m["qps"], m["qps_batch"])
+          except Exception as e:  # OOM etc: keep the small-batch row
+            _log(f"ht={ht}: big-batch block failed: {e!r}")
         print(json.dumps({**base, "hash_times": ht, **m}), flush=True)
+        gc.collect()
 
 
 if __name__ == "__main__":
