@@ -171,6 +171,7 @@ def main():
             "n_corpus": int(N_CORPUS), "n_tables": L, "hash_size": bits,
             "hash_times": ht, "probe_mode": "flip",
             "serving_dtype": sdtype.name,
+            "group_q": int(os.environ.get("NLSH_GROUP_Q", 32)),
             "train_s": round(train_s, 1), "build_s": round(build_s, 1),
             **m,
         }

@@ -62,4 +62,12 @@ NLSH_MT10M_L=2 NLSH_MT10M_DTYPE=int8 NLSH_MT10M_HT=16 timeout 3600 \
   2> /tmp/mt10m_L2_int8b.log
 echo "rc=$?"
 
+echo "=== B7: mthr group_q sweep at ht=4 (floor-bound probe) $(date +%T) ==="
+for GQ in 16 64; do
+  NLSH_GROUP_Q=$GQ NLSH_MTHR_HT=4 timeout 1800 \
+    python benchmarks/mt_highrecall.py >> $A/mt_highrecall_glove100.jsonl \
+    2> /tmp/mthr_gq$GQ.log
+  echo "gq=$GQ rc=$?"
+done
+
 echo "=== campaign B done $(date +%T) ==="
