@@ -28,6 +28,12 @@ NLSH_MT10M_L=2 NLSH_MT10M_DTYPE=bf16 timeout 4500 \
   2> /tmp/mt10m_L2_bf16b.log
 echo "rc=$?"
 
+echo "=== B0c: mt10m L=4 bf16 (flat host stack fix) $(date +%T) ==="
+NLSH_MT10M_L=4 NLSH_MT10M_DTYPE=bf16 NLSH_MT10M_HT=4,8 timeout 5400 \
+  python benchmarks/mt10m_probe.py >> $A/mt10m_deepimage96.jsonl \
+  2> /tmp/mt10m_L4_bf16b.log
+echo "rc=$?"
+
 echo "=== B4: trainscale10m $(date +%T) ==="
 NLSH_TS_GRID=524288:1200,2097152:1200 timeout 10800 \
   python benchmarks/trainscale10m.py \

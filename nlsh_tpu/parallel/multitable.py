@@ -605,15 +605,34 @@ class MultiTableIndexer:
                 )
                 for li in range(self.n_tables)
             ]
-            data = jnp.asarray(np.stack([p[0] for p in parts]))
-            row_map = jnp.asarray(np.stack([p[1] for p in parts]))
+            if self.mesh is None:
+                # pre-flatten on the HOST: the device-side reshape of an
+                # L-stacked multi-GB array in _flat_layout materialises
+                # a full copy on this backend (L=4 x 10M bf16 = 9.7 GiB
+                # stacked + 9.7 GiB copy -> OOM, round 5); numpy
+                # concatenation is free of device transients and
+                # _flat_layout passes 2-D data straight through
+                data = jnp.asarray(np.concatenate([p[0] for p in parts]))
+                row_map = jnp.asarray(
+                    np.concatenate([p[1] for p in parts]))
+                norms = (jnp.asarray(np.concatenate(
+                    [p[3] for p in parts]))
+                    if parts[0][3] is not None else None)
+                if per_row:
+                    scale = jnp.asarray(
+                        np.concatenate([p[4] for p in parts]))
+                elif h_scale is not None:
+                    scale = jnp.asarray(h_scale, jnp.float32)
+            else:
+                data = jnp.asarray(np.stack([p[0] for p in parts]))
+                row_map = jnp.asarray(np.stack([p[1] for p in parts]))
+                norms = (jnp.asarray(np.stack([p[3] for p in parts]))
+                         if parts[0][3] is not None else None)
+                if per_row:
+                    scale = jnp.asarray(np.stack([p[4] for p in parts]))
+                elif h_scale is not None:
+                    scale = jnp.asarray(h_scale, jnp.float32)
             astarts = jnp.asarray(np.stack([p[2] for p in parts]))
-            norms = (jnp.asarray(np.stack([p[3] for p in parts]))
-                     if parts[0][3] is not None else None)
-            if per_row:
-                scale = jnp.asarray(np.stack([p[4] for p in parts]))
-            elif h_scale is not None:
-                scale = jnp.asarray(h_scale, jnp.float32)
         else:
             build = partial(layout_arrays, cap=cap, n_aligned=n_aligned,
                             metric=metric, dtype=dtype, align=align,
@@ -665,19 +684,29 @@ class MultiTableIndexer:
         ``n_aligned % align == 0`` (aligned_rows guarantees it)."""
         from nlsh_tpu.ops.pallas.query_kernel import ServingLayout
 
-        lc = data.shape[0]
+        lc = astarts.shape[0]
         offs = (jnp.arange(lc, dtype=jnp.int32) * n_aligned)[:, None]
+        if data.ndim == 2:
+            # host-prefolded stack (big-corpus path): already flat
+            flat_data, flat_map = data, row_map
+            flat_norms = norms
+            flat_scale = scale
+        else:
+            flat_data = data.reshape(lc * n_aligned, data.shape[-1])
+            flat_map = row_map.reshape(-1)
+            flat_norms = None if norms is None else norms.reshape(-1)
+            flat_scale = (scale if scale is None or scale.ndim == 0
+                          else scale.reshape(-1))
         return ServingLayout(
-            data=data.reshape(lc * n_aligned, data.shape[-1]),
-            row_map=row_map.reshape(-1),
+            data=flat_data,
+            row_map=flat_map,
             starts=(astarts + offs).reshape(-1),
             counts=counts.reshape(-1),
             cap=cap, d_pad=data.shape[-1], align=align, metric=metric,
             total_blocks=total_blocks,
-            norms=None if norms is None else norms.reshape(-1),
+            norms=flat_norms,
             block_rows=block_rows,
-            scale=(scale if scale is None or scale.ndim == 0
-                   else scale.reshape(-1)),
+            scale=flat_scale,
         )
 
     @staticmethod
