@@ -36,6 +36,10 @@ MAX_STEPS = int(os.environ.get("NLSH_TRAIN_FULL_STEPS", 6000))
 # must hold the final step within ~0.01 of the peak.
 # NLSH_TRAIN_FULL_SCHED=constant reproduces the round-4 curve.
 LR_SCHEDULE = os.environ.get("NLSH_TRAIN_FULL_SCHED", "cosine")
+# decay floor as a fraction of peak LR (the round-5 cosine run at 0.05
+# still dipped mid-run while LR sat at ~0.5x peak; smaller floors +
+# linear decay pull LR down faster through that window)
+LR_END_FRAC = float(os.environ.get("NLSH_TRAIN_FULL_END_FRAC", 0.05))
 EVAL_EVERY = 1000
 BATCH = 2048
 HASH_TIMES = 16
@@ -182,6 +186,8 @@ def main():
                 else "train_full_glove100")
     if LR_SCHEDULE != "constant":
         run_name += f"_{LR_SCHEDULE}"
+        if LR_END_FRAC != 0.05:
+            run_name += f"_e{LR_END_FRAC}"
     logger = JSONLLogger(os.path.join(art_dir, f"{run_name}.jsonl"),
                          run_name=run_name)
     logger.meta({"corpus": bench.N_CORPUS, "train_subset": TRAIN_SUBSET,
@@ -200,7 +206,7 @@ def main():
                         epochs=1000, test_every_updates=EVAL_EVERY,
                         max_steps=MAX_STEPS, hash_times=HASH_TIMES,
                         probe_mode="flip", seed=SEED,
-                        lr_schedule=LR_SCHEDULE)
+                        lr_schedule=LR_SCHEDULE, lr_end_frac=LR_END_FRAC)
     train_s = time.perf_counter() - t0
 
     # serve the BEST checkpoint, not the last step: the recall curve
