@@ -30,7 +30,9 @@ Behavioural-parity notes (kept deliberately, documented so they are not
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
@@ -341,19 +343,45 @@ def band_balance_loss(
     band_probs: Array, confidence_weight: float = 0.3,
     epsilon: float = 1e-12,
 ) -> Array:
-    """:func:`bucket_balance_loss` for PRODUCT-QUANTISATION heads
-    (round 5): the PQ bucket distribution factorises over bands, so the
-    full 2^bits histogram is uniform iff every band's categorical is —
-    sum the per-band KL(mean || uniform) instead of materialising
-    ``2^bits`` buckets, plus the same per-sample confidence (entropy)
-    term so the soft histogram cannot flatten while hard assignments
-    stay collapsed.
+    """:func:`bucket_balance_loss` for PRODUCT-QUANTISATION heads.
+
+    The JOINT bucket histogram is what serving skew depends on, and per-
+    band marginal uniformity does NOT imply joint uniformity — bands
+    can each be uniform while strongly correlated, concentrating the
+    joint mass on a thin diagonal (measured round 5: a marginals-only
+    balance left 1341 of 4096 buckets used, occupancy std 1979, recall
+    0.06).  So this computes the exact joint distribution where
+    feasible: ``log P(bucket) = sum_m log p_m(code_m(bucket))`` over
+    all ``B^M`` buckets (one einsum against the enumerated band-code
+    table — 12-bit PQ = 4096 buckets, trivial on the MXU), with the
+    same two terms as the Bernoulli loss: KL(mean joint || uniform) +
+    per-sample confidence entropy.  Past ``MAX_JOINT_BITS`` total bits
+    it falls back to per-band marginals + confidence (a weaker proxy,
+    documented).
 
     Args:
       band_probs: ``(batch, n_bands, band_size)`` per-band softmaxes.
     """
     p = jnp.clip(band_probs, 1e-9, 1.0)
-    band_size = p.shape[-1]
+    batch, n_bands, band_size = p.shape
+    bits_per_band = int(np.log2(band_size))
+    total_bits = n_bands * bits_per_band
+    MAX_JOINT_BITS = 14  # (batch, 2^bits) histogram memory cap
+    if 2 ** total_bits == band_size ** n_bands and \
+            total_bits <= MAX_JOINT_BITS:
+        nb = band_size ** n_bands
+        # codes[j, m] = band m's sub-code of bucket j (band 0 high bits)
+        shifts = bits_per_band * np.arange(n_bands - 1, -1, -1)
+        codes = ((np.arange(nb)[:, None] >> shifts) & (band_size - 1))
+        onehot = jax.nn.one_hot(jnp.asarray(codes), band_size)  # (NB,M,B)
+        log_p = jnp.log(p)
+        log_bucket = jnp.einsum("bmc,nmc->bn", log_p, onehot)  # (batch,NB)
+        p_bucket = jnp.exp(log_bucket)
+        q = jnp.mean(p_bucket, axis=0)
+        kl_uniform = jnp.sum(q * jnp.log(q * nb + epsilon))
+        sample_entropy = -jnp.mean(jnp.sum(p_bucket * log_bucket, axis=1))
+        return kl_uniform + confidence_weight * sample_entropy
+    # fallback: marginals + confidence (joint histogram too large)
     q = jnp.mean(p, axis=0)  # (M, B) mean band distributions
     q = q / jnp.sum(q, axis=-1, keepdims=True)
     kl_uniform = jnp.sum(q * jnp.log(q * band_size + epsilon))

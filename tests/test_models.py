@@ -285,3 +285,23 @@ def test_band_balance_loss_prefers_uniform_confident():
     ls = float(band_balance_loss(soft))
     assert lb < lc  # collapse penalised
     assert lb < ls  # hovering-soft penalised (confidence term)
+
+
+def test_band_balance_loss_penalises_correlated_bands():
+    """Joint-histogram balance (round-5 fix): two per-band-uniform but
+    perfectly CORRELATED bands concentrate the joint mass on the
+    diagonal (16 of 256 buckets) and must score much worse than
+    independent uniform bands — the marginals-only loss cannot see
+    this (it produced a 1341/4096-bucket collapse at 1.18M)."""
+    from nlsh_tpu.ops.code_distances import band_balance_loss
+
+    rng = np.random.default_rng(0)
+    n, B = 256, 16
+    eye = np.eye(B, dtype=np.float32) * 0.97 + 0.03 / B
+    a = rng.integers(0, B, n)
+    b = rng.integers(0, B, n)
+    independent = jnp.asarray(np.stack([eye[a], eye[b]], axis=1))
+    correlated = jnp.asarray(np.stack([eye[a], eye[a]], axis=1))
+    li = float(band_balance_loss(independent))
+    lc = float(band_balance_loss(correlated))
+    assert lc > li + 1.0, (li, lc)
